@@ -1,0 +1,255 @@
+"""Functional open-addressing hash table for TPU.
+
+This is the TPU-native replacement for DeepRec's ``LocklessHashMap``
+(``core/framework/embedding/lockless_hash_map.h:25``) and the id→row
+mapping half of ``EmbeddingVar::LookupOrCreate``
+(``core/framework/embedding/embedding_var.h:130``).  The reference
+resolves ids to heap pointers on the host with a concurrent hash map;
+here the table is a fixed-capacity, device-resident array pair and every
+operation is a pure function on that state, so it composes with ``jit``,
+``grad`` and ``shard_map``.
+
+Design:
+  * ``capacity`` is a power of two; probing is linear with wraparound.
+  * Keys are (hi, lo) int32 pairs (see ``utils/keys.py``); slot ``i``
+    holds key ``(key_hi[i], key_lo[i])``.  EMPTY marks a never-used
+    slot, TOMBSTONE an evicted one (probe chains skip it, inserts reuse
+    it).
+  * A probe scan is one vectorized gather of shape ``[n, max_probes]``
+    — no data-dependent loops, so XLA tiles it well.
+  * Concurrent inserts inside one batch are serialized with a
+    scatter-min "claim" round: every pending id proposes its first
+    reusable slot, the lowest batch index wins the slot, losers rescan.
+    Distinct ids collide on a slot only via hash collision, so a few
+    rounds resolve realistic batches; unresolved ids overflow to the
+    sentinel slot ``capacity`` (callers give them default values and
+    drop their updates).
+
+Slot convention: valid slots are ``0 .. capacity-1``; ``capacity`` is
+the overflow/not-found sentinel.  Row-data arrays are therefore sized
+``capacity + 1`` so the sentinel is a safe gather index.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprec_tpu.utils import keys as keylib
+
+
+class HashTable(NamedTuple):
+    """Pure state: the key arrays. Shape [capacity] each."""
+
+    key_hi: jax.Array
+    key_lo: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.key_hi.shape[0]
+
+
+def create(capacity: int) -> HashTable:
+    if capacity & (capacity - 1):
+        raise ValueError(f"capacity {capacity} must be a power of two")
+    return HashTable(
+        key_hi=jnp.full((capacity,), keylib.EMPTY_HI, dtype=jnp.int32),
+        key_lo=jnp.full((capacity,), keylib.EMPTY_LO, dtype=jnp.int32),
+    )
+
+
+def _scan(key_hi, key_lo, qhi, qlo, buckets, max_probes: int):
+    """One vectorized probe scan.
+
+    Returns (found, found_slot, has_reuse, reuse_slot), each [n].
+    Slots equal to ``capacity`` mean "none".
+    """
+    capacity = key_hi.shape[0]
+    offs = jnp.arange(max_probes, dtype=jnp.int32)
+    pos = (buckets[:, None] + offs[None, :]) & jnp.int32(capacity - 1)
+    khi = key_hi[pos]
+    klo = key_lo[pos]
+    match = (khi == qhi[:, None]) & (klo == qlo[:, None])
+    sent_hi = khi == keylib.EMPTY_HI
+    empty = sent_hi & (klo == keylib.EMPTY_LO)
+    tomb = sent_hi & (klo == keylib.TOMB_LO)
+
+    found = jnp.any(match, axis=1)
+    found_off = jnp.argmax(match, axis=1)
+    found_slot = jnp.where(
+        found,
+        jnp.take_along_axis(pos, found_off[:, None], axis=1)[:, 0],
+        capacity,
+    )
+
+    reusable = empty | tomb
+    has_reuse = jnp.any(reusable, axis=1)
+    reuse_off = jnp.argmax(reusable, axis=1)
+    reuse_slot = jnp.where(
+        has_reuse,
+        jnp.take_along_axis(pos, reuse_off[:, None], axis=1)[:, 0],
+        capacity,
+    )
+    return found, found_slot, has_reuse, reuse_slot
+
+
+def find(table: HashTable, qhi, qlo, max_probes: int = 64):
+    """Lookup-only. Returns slots [n] int32; ``capacity`` if absent.
+
+    Padding entries may use the EMPTY sentinel id; they return
+    ``capacity``.
+    """
+    capacity = table.capacity
+    buckets = keylib.bucket_of(qhi, qlo, capacity)
+    found, found_slot, _, _ = _scan(
+        table.key_hi, table.key_lo, qhi, qlo, buckets, max_probes)
+    is_sentinel = qhi == keylib.EMPTY_HI
+    return jnp.where(found & ~is_sentinel, found_slot, capacity)
+
+
+def find_or_insert(
+    table: HashTable,
+    qhi,
+    qlo,
+    insert_mask,
+    max_probes: int = 64,
+    max_rounds: int = 32,
+):
+    """Find each id; insert those with ``insert_mask`` set when absent.
+
+    Functional analog of ``EmbeddingVar::LookupOrCreateKey``.  Duplicate
+    ids within the batch are allowed (they resolve to one slot, with
+    ``is_new`` true for exactly one occurrence).
+
+    Returns ``(table, slots, is_new)``:
+      slots  [n] int32 — row index, or ``capacity`` for not-found /
+             overflow / sentinel ids.
+      is_new [n] bool  — this call inserted the key at this position.
+             Callers MUST reinitialize row data (values/freq/version/
+             optimizer slots) for new rows: the slot may be a reused
+             tombstone holding stale data.
+    """
+    n = qhi.shape[0]
+    capacity = table.capacity
+    buckets = keylib.bucket_of(qhi, qlo, capacity)
+    tokens = jnp.arange(n, dtype=jnp.int32)
+    is_sentinel = qhi == keylib.EMPTY_HI
+    want_insert = jnp.asarray(insert_mask, jnp.bool_) & ~is_sentinel
+
+    def cond(state):
+        r, _, _, _, _, pending = state
+        return (r < max_rounds) & jnp.any(pending)
+
+    def body(state):
+        r, key_hi, key_lo, slots, is_new, pending = state
+        found, found_slot, has_reuse, reuse_slot = _scan(
+            key_hi, key_lo, qhi, qlo, buckets, max_probes)
+        # Resolve finds (lookup-only ids and insert ids alike).
+        hit = pending & found
+        slots = jnp.where(hit, found_slot, slots)
+        pending = pending & ~found
+        # Claim: lowest batch index wins each proposed slot. Only ids
+        # with insert_mask may claim.
+        want = pending & has_reuse & want_insert
+        prop = jnp.where(want, reuse_slot, capacity)
+        claim = jnp.full((capacity + 1,), n, dtype=jnp.int32)
+        claim = claim.at[prop].min(jnp.where(want, tokens, n))
+        won = want & (claim[prop] == tokens)
+        widx = jnp.where(won, prop, capacity)  # capacity OOB for [C] => drop
+        key_hi = key_hi.at[widx].set(qhi, mode="drop")
+        key_lo = key_lo.at[widx].set(qlo, mode="drop")
+        slots = jnp.where(won, prop, slots)
+        is_new = is_new | won
+        pending = pending & ~won
+        return (r + 1, key_hi, key_lo, slots, is_new, pending)
+
+    # Ids we are not inserting still need one scan; fold them into the
+    # loop by starting everyone pending, but only insert-masked ids may
+    # claim. Non-insert ids leave the loop pending=False after round 0
+    # (they either found a slot or give up immediately).
+    init_pending = ~is_sentinel
+
+    def body_wrap(state):
+        r, key_hi, key_lo, slots, is_new, pending = body(state)
+        # Non-insert ids never claim; drop them from pending after the
+        # first scan so the loop terminates.
+        pending = pending & want_insert
+        return (r, key_hi, key_lo, slots, is_new, pending)
+
+    state = (
+        jnp.int32(0),
+        table.key_hi,
+        table.key_lo,
+        jnp.full((n,), capacity, dtype=jnp.int32),
+        jnp.zeros((n,), dtype=jnp.bool_),
+        init_pending,
+    )
+    _, key_hi, key_lo, slots, is_new, _ = jax.lax.while_loop(
+        cond, body_wrap, state)
+    return HashTable(key_hi=key_hi, key_lo=key_lo), slots, is_new
+
+
+def remove_slots(table: HashTable, slot_mask) -> HashTable:
+    """Tombstone every slot where ``slot_mask`` ([capacity] bool) is set.
+
+    Used by eviction (``StorageManager::Shrink`` analog). Tombstones keep
+    probe chains intact and are reused by later inserts.
+    """
+    occupied = ~((table.key_hi == keylib.EMPTY_HI)
+                 & ((table.key_lo == keylib.EMPTY_LO)
+                    | (table.key_lo == keylib.TOMB_LO)))
+    m = jnp.asarray(slot_mask, jnp.bool_) & occupied
+    key_hi = jnp.where(m, keylib.TOMB_HI, table.key_hi)
+    key_lo = jnp.where(m, keylib.TOMB_LO, table.key_lo)
+    return HashTable(key_hi=key_hi, key_lo=key_lo)
+
+
+def live_mask(table: HashTable):
+    """[capacity] bool — slots holding a real key."""
+    sent = table.key_hi == keylib.EMPTY_HI
+    return ~(sent & ((table.key_lo == keylib.EMPTY_LO)
+                     | (table.key_lo == keylib.TOMB_LO)))
+
+
+def num_live(table: HashTable):
+    return jnp.sum(live_mask(table).astype(jnp.int32))
+
+
+def compact_np(key_hi: np.ndarray, key_lo: np.ndarray):
+    """Host-side rebuild: returns (new_key_hi, new_key_lo, old_to_new)
+    where old_to_new[c] is the new slot of old slot c (or capacity).
+
+    Run occasionally when tombstones accumulate; callers permute their
+    row-data arrays with ``old_to_new``.
+    """
+    capacity = key_hi.shape[0]
+    ids = keylib.join_ids(key_hi, key_lo)
+    live = ~np.isin(ids, (keylib.EMPTY_ID, keylib.TOMB_ID))
+    new_hi = np.full(capacity, keylib.EMPTY_HI, np.int32)
+    new_lo = np.full(capacity, keylib.EMPTY_LO, np.int32)
+    old_to_new = np.full(capacity, capacity, np.int32)
+    mask = capacity - 1
+    for old_slot in np.nonzero(live)[0]:
+        hi, lo = int(key_hi[old_slot]), int(key_lo[old_slot])
+        b = int(_bucket_np(hi, lo, capacity))
+        for j in range(capacity):
+            p = (b + j) & mask
+            if new_hi[p] == keylib.EMPTY_HI and new_lo[p] == keylib.EMPTY_LO:
+                new_hi[p] = hi
+                new_lo[p] = lo
+                old_to_new[old_slot] = p
+                break
+    return new_hi, new_lo, old_to_new
+
+
+def _bucket_np(hi: int, lo: int, capacity: int) -> int:
+    h = (lo & 0xFFFFFFFF) ^ (((hi & 0xFFFFFFFF) * 0x9E3779B9) & 0xFFFFFFFF)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h & (capacity - 1)

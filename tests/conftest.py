@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's in-process multi-task test harness
+(``distributed_runtime/rpc/grpc_testlib.h``) — sharding logic is
+validated without real multi-chip hardware.
+"""
+
+import os
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend; override it so
+# tests always run on the virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    return jax.make_mesh((8,), ("data",))
