@@ -1,0 +1,112 @@
+"""Embedding lookup: dedup, bag combining, gradient boundary.
+
+TPU rebuild of the lookup pipeline in
+``python/ops/embedding_ops.py`` (combiners sum/mean/sqrtn) and the hot
+pre-lookup dedup primitive ``UniqueAliOp``
+(``core/kernels/unique_ali_op.cc:47``).  The reference dedups ids on
+host threads; here dedup is a device sort (``jnp.unique`` with static
+size) so the whole step stays in one XLA program.
+
+Gradient structure: ``lookup_train`` returns the unique rows as an
+explicit array.  Treat it as a differentiable input of the loss; the
+cotangent that comes back is exactly the per-unique-row gradient the
+sparse optimizers consume — the dense [capacity, dim] gradient never
+materializes (the reference gets the same effect from
+``IndexedSlices``).
+
+Sparse feature batches are padded-dense: ``[batch, max_len]`` id
+matrices padded with the EMPTY sentinel id (see ``utils/keys.py``),
+produced by the host input pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.embedding import variable as ev
+from deeprec_tpu.utils import keys as keylib
+
+
+class DedupResult(NamedTuple):
+    uhi: jax.Array      # [n] unique id hi (EMPTY-padded)
+    ulo: jax.Array      # [n] unique id lo
+    counts: jax.Array   # [n] int32 occurrences (0 for padding)
+    inverse: jax.Array  # [n_in] index into unique arrays
+
+
+def dedup(hi, lo) -> DedupResult:
+    """Deduplicate an id batch on device. Output size == input size
+    (static shapes); tail entries are EMPTY-padded."""
+    n = hi.shape[0]
+    stacked = jnp.stack([hi, lo], axis=1)
+    fill = jnp.array([keylib.EMPTY_HI, keylib.EMPTY_LO], jnp.int32)
+    uniq, inverse, counts = jnp.unique(
+        stacked, axis=0, size=n, fill_value=fill,
+        return_inverse=True, return_counts=True)
+    # Don't count sentinel padding occurrences.
+    is_real = uniq[:, 0] != keylib.EMPTY_HI
+    counts = jnp.where(is_real, counts.astype(jnp.int32), 0)
+    return DedupResult(uniq[:, 0], uniq[:, 1], counts,
+                       inverse.reshape(-1))
+
+
+def combine_bags(rows, inverse, mask, combiner: str):
+    """Reduce per-occurrence rows into per-bag embeddings.
+
+    rows:    [n_unique, dim] (differentiable)
+    inverse: [B, L] indices into rows
+    mask:    [B, L] bool — real (non-padding) positions
+    Returns [B, dim].
+    """
+    per_occ = rows[inverse] * mask[..., None].astype(rows.dtype)
+    s = jnp.sum(per_occ, axis=1)
+    cnt = jnp.sum(mask, axis=1).astype(rows.dtype)
+    if combiner == "sum":
+        return s
+    if combiner == "mean":
+        return s / jnp.maximum(cnt, 1.0)[:, None]
+    if combiner == "sqrtn":
+        return s / jnp.sqrt(jnp.maximum(cnt, 1.0))[:, None]
+    raise ValueError(f"unknown combiner {combiner!r}")
+
+
+class BagLookup(NamedTuple):
+    """Everything the train step needs from one table's lookup."""
+
+    lk: ev.LookupResult          # per-unique-id lookup (rows is diff input)
+    inverse: jax.Array           # [B, L]
+    mask: jax.Array              # [B, L]
+
+
+def bag_lookup_train(
+    cfg: cfglib.TableConfig,
+    state: ev.EVState,
+    ids_hi,
+    ids_lo,
+    global_step,
+    salt: int = 0,
+) -> tuple[ev.EVState, BagLookup]:
+    """Training lookup for one padded-dense sparse feature [B, L]."""
+    B, L = ids_hi.shape
+    flat_hi = ids_hi.reshape(-1)
+    flat_lo = ids_lo.reshape(-1)
+    dd = dedup(flat_hi, flat_lo)
+    state, lk = ev.lookup_train(
+        cfg, state, dd.uhi, dd.ulo, dd.counts, global_step, salt=salt)
+    mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
+    return state, BagLookup(lk=lk, inverse=dd.inverse.reshape(B, L),
+                            mask=mask)
+
+
+def bag_lookup_infer(cfg: cfglib.TableConfig, state: ev.EVState,
+                     ids_hi, ids_lo):
+    """Inference: no dedup bookkeeping, no mutation. Returns [B, dim]."""
+    B, L = ids_hi.shape
+    rows = ev.lookup(cfg, state, ids_hi.reshape(-1), ids_lo.reshape(-1))
+    mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
+    inverse = jnp.arange(B * L).reshape(B, L)
+    return combine_bags(rows, inverse, mask, cfg.combiner)

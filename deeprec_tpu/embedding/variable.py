@@ -1,0 +1,342 @@
+"""EmbeddingVariable: dynamic-capacity embedding table with EV semantics.
+
+TPU-native rebuild of DeepRec's ``EmbeddingVar<K, V>``
+(``core/framework/embedding/embedding_var.h:40-292``) plus its feature
+filters (``embedding_filter.h``) and eviction
+(``multilevel_embedding.h:322-377``).  Differences forced by the TPU
+execution model, all deliberate:
+
+  * State is a pure pytree of fixed-shape device arrays; every op is a
+    function ``(config, state, ...) -> (state', ...)`` usable under
+    ``jit`` / ``grad`` / ``shard_map``.
+  * The id→row map is the open-addressing ``hash_table`` module rather
+    than a host hash map; rows live in one HBM matrix rather than
+    per-key heap allocations.
+  * freq/version metadata are parallel int32 arrays rather than
+    per-ValuePtr headers (``value_ptr.h:95``).
+
+Semantics preserved from the reference:
+  * Counter filter: a key is inserted on first sight, but reads return
+    the default value and gradient updates are dropped until its
+    frequency reaches ``filter_freq`` (``embedding_filter.h:355-441``,
+    backward gating ``core/kernels/training_ali_ops.cc:134-147``).
+  * Counting-Bloom filter: keys are counted in a CBF and only inserted
+    into the main table once the approximate count passes the threshold
+    (``embedding_filter.h:61-354``).
+  * Eviction by ``steps_to_live`` or L2-norm threshold at shrink time.
+  * Per-key default value bank selected by ``id % default_value_dim``.
+  * 4-tensor checkpoint export (keys/values/freqs/versions) with
+    mod-based re-sharding on import (``KvResourceImportV2``,
+    ``core/ops/kv_variable_ops.cc:403``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.embedding import hash_table as ht
+from deeprec_tpu.utils import keys as keylib
+from deeprec_tpu.utils import stateless_random as srand
+
+
+@struct.dataclass
+class EVState:
+    """Device state of one embedding table (or one shard of it).
+
+    Row arrays have ``capacity + 1`` rows; the last row is the overflow
+    sentinel (never read through the default path, safe scatter target).
+    """
+
+    table: ht.HashTable
+    values: jax.Array      # [C+1, dim] param rows
+    freqs: jax.Array       # [C+1] int32 occurrence counts
+    versions: jax.Array    # [C+1] int32 last-touched global step (-1 unset)
+    default_bank: jax.Array  # [default_value_dim, dim]
+    bloom: jax.Array       # [num_counters] int32 CBF (shape [0] if unused)
+
+
+class LookupResult(NamedTuple):
+    slots: jax.Array       # [n] int32 row index (capacity => overflow)
+    rows: jax.Array        # [n, dim] embedding rows (defaults where needed)
+    admitted: jax.Array    # [n] bool — row participates in training
+    is_new: jax.Array      # [n] bool — inserted by this lookup
+    prev_versions: jax.Array  # [n] int32 last-touch step before this lookup
+    qhi: jax.Array
+    qlo: jax.Array
+
+
+def create(cfg: cfglib.TableConfig, salt: int = 0) -> EVState:
+    """Build an empty table. ``salt`` decorrelates initializers across
+    tables (pass a per-table integer)."""
+    capacity = cfg.capacity
+    dim = cfg.dim
+    ev = cfg.ev_option
+    dvd = max(1, ev.default_value_dim)
+    # Default bank: the value an unseen / unadmitted key reads. The
+    # reference fills it from the initializer; bank row d is the
+    # initializer output for pseudo-ids (salt, d).
+    bank_hi = jnp.full((dvd,), 7777 + salt, jnp.int32)
+    bank_lo = jnp.arange(dvd, dtype=jnp.int32)
+    if cfg.initializer in ("zeros", "constant"):
+        bank = srand.init_rows(cfg.initializer, bank_hi, bank_lo, dim,
+                               cfg.init_scale)
+    else:
+        # Random initializers: default reads are zeros (a cold key
+        # contributes nothing), matching common EV usage where
+        # default_value=0 while allocated rows draw from the initializer.
+        bank = jnp.zeros((dvd, dim), jnp.float32)
+    f = ev.filter_option
+    if isinstance(f, cfglib.CBFFilter):
+        bloom = jnp.zeros((f.num_counters,), jnp.int32)
+    else:
+        bloom = jnp.zeros((0,), jnp.int32)
+    return EVState(
+        table=ht.create(capacity),
+        values=jnp.zeros((capacity + 1, dim), cfg.dtype),
+        freqs=jnp.zeros((capacity + 1,), jnp.int32),
+        versions=jnp.full((capacity + 1,), -1, jnp.int32),
+        default_bank=bank.astype(cfg.dtype),
+        bloom=bloom,
+    )
+
+
+def _bloom_positions(f: cfglib.CBFFilter, qhi, qlo):
+    pos = []
+    for k in range(f.num_hash_func):
+        h = keylib.hash_mix(qhi, qlo, salt=1000 + k)
+        pos.append((h % jnp.uint32(f.num_counters)).astype(jnp.int32))
+    return jnp.stack(pos, axis=0)  # [k, n]
+
+
+def _drop_idx(slots, capacity):
+    """Map overflow sentinel to an out-of-bounds index so scatters with
+    mode='drop' skip it (the sentinel row stays clean)."""
+    return jnp.where(slots < capacity, slots, capacity + 1)
+
+
+def _default_rows(cfg: cfglib.TableConfig, state: EVState, qhi, qlo):
+    dvd = state.default_bank.shape[0]
+    sel = keylib.mod_of(qhi, qlo, dvd) if dvd > 1 else jnp.zeros(
+        qhi.shape, jnp.int32)
+    return state.default_bank[sel]
+
+
+def lookup_train(
+    cfg: cfglib.TableConfig,
+    state: EVState,
+    qhi,
+    qlo,
+    counts,
+    global_step,
+    salt: int = 0,
+) -> tuple[EVState, LookupResult]:
+    """Training-path lookup: admit/insert/count, return rows.
+
+    ``qhi/qlo`` must be deduplicated ids (padding = EMPTY sentinel);
+    ``counts`` their occurrence counts within the step.  Gradient flows
+    through ``result.rows`` — treat them as an explicit differentiable
+    input to the loss and hand the cotangent to a sparse optimizer.
+    """
+    capacity = cfg.capacity
+    counts = jnp.asarray(counts, jnp.int32)
+    is_real = qhi != keylib.EMPTY_HI
+    f = cfg.ev_option.filter_option
+
+    bloom = state.bloom
+    if isinstance(f, cfglib.CBFFilter):
+        pos = _bloom_positions(f, qhi, qlo)  # [k, n]
+        add = jnp.where(is_real, counts, 0)
+        for k in range(f.num_hash_func):
+            bloom = bloom.at[pos[k]].add(add, mode="drop")
+        cbf_count = jnp.min(
+            jnp.stack([bloom[pos[k]] for k in range(f.num_hash_func)], 0),
+            axis=0)
+        insert_mask = is_real & (cbf_count >= f.filter_freq)
+    else:
+        insert_mask = is_real
+
+    table, slots, is_new = ht.find_or_insert(
+        state.table, qhi, qlo, insert_mask, max_probes=cfg.max_probes)
+    widx = _drop_idx(slots, capacity)
+
+    # Fresh rows (possibly reused tombstone slots): initializer values,
+    # zero freq, unset version.
+    new_idx = jnp.where(is_new, slots, capacity + 1)
+    fresh = srand.init_rows(
+        cfg.initializer, qhi, qlo, cfg.dim, cfg.init_scale, salt=salt
+    ).astype(state.values.dtype)
+    values = state.values.at[new_idx].set(fresh, mode="drop")
+    freqs = state.freqs.at[new_idx].set(0, mode="drop")
+
+    # Frequency and version bookkeeping for every touched row. Capture
+    # the pre-update version (AdagradDecay needs steps-since-last-touch).
+    safe_slots = jnp.minimum(slots, capacity)
+    prev_versions = jnp.where(
+        is_new, jnp.int32(global_step), state.versions[safe_slots])
+    freqs = freqs.at[widx].add(counts, mode="drop")
+    versions = state.versions.at[widx].set(
+        jnp.full(slots.shape, global_step, jnp.int32), mode="drop")
+
+    in_table = slots < capacity
+    if isinstance(f, cfglib.CounterFilter) and f.filter_freq > 0:
+        admitted = in_table & (freqs[jnp.minimum(slots, capacity)]
+                               >= f.filter_freq)
+    else:
+        admitted = in_table
+
+    rows = jnp.where(
+        admitted[:, None],
+        values[jnp.minimum(slots, capacity)],
+        _default_rows(cfg, state, qhi, qlo),
+    )
+    new_state = EVState(
+        table=table, values=values, freqs=freqs, versions=versions,
+        default_bank=state.default_bank, bloom=bloom)
+    return new_state, LookupResult(
+        slots=slots, rows=rows, admitted=admitted, is_new=is_new,
+        prev_versions=prev_versions, qhi=qhi, qlo=qlo)
+
+
+def lookup(cfg: cfglib.TableConfig, state: EVState, qhi, qlo) -> jax.Array:
+    """Inference-path lookup: no mutation; missing/unadmitted keys read
+    the default bank. Returns rows [n, dim]."""
+    capacity = cfg.capacity
+    slots = ht.find(state.table, qhi, qlo, max_probes=cfg.max_probes)
+    in_table = slots < capacity
+    f = cfg.ev_option.filter_option
+    safe = jnp.minimum(slots, capacity)
+    if isinstance(f, cfglib.CounterFilter) and f.filter_freq > 0:
+        admitted = in_table & (state.freqs[safe] >= f.filter_freq)
+    else:
+        admitted = in_table
+    return jnp.where(
+        admitted[:, None], state.values[safe],
+        _default_rows(cfg, state, qhi, qlo))
+
+
+def shrink(cfg: cfglib.TableConfig, state: EVState, global_step) -> EVState:
+    """Apply the table's eviction policy (checkpoint-time shrink,
+    reference ``StorageManager::Shrink`` both overloads)."""
+    ev = cfg.ev_option.evict_option
+    if ev is None:
+        return state
+    live = ht.live_mask(state.table)
+    body = state.versions[:-1]
+    if isinstance(ev, cfglib.GlobalStepEvict):
+        if ev.steps_to_live <= 0:
+            return state
+        evict = live & (body >= 0) & (
+            (global_step - body) > ev.steps_to_live)
+    elif isinstance(ev, cfglib.L2WeightEvict):
+        sq = jnp.sum(
+            jnp.square(state.values[:-1].astype(jnp.float32)), axis=1)
+        evict = live & (sq < ev.l2_weight_threshold ** 2)
+    else:
+        return state
+    table = ht.remove_slots(state.table, evict)
+    # Clear metadata on evicted rows so a future reuse starts clean even
+    # if callers skip is_new handling.
+    freqs = jnp.where(evict, 0, state.freqs[:-1])
+    versions = jnp.where(evict, -1, state.versions[:-1])
+    return state.replace(
+        table=table,
+        freqs=jnp.concatenate([freqs, state.freqs[-1:]]),
+        versions=jnp.concatenate([versions, state.versions[-1:]]),
+    )
+
+
+def num_live(state: EVState):
+    return ht.num_live(state.table)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint export / import: the reference's 4-tensor EV format
+# (docs/Embedding-Variable-Export-Format.md:7-14).
+# ---------------------------------------------------------------------------
+
+def export_arrays(cfg: cfglib.TableConfig, state: EVState) -> dict[str, np.ndarray]:
+    """Host-side snapshot of live rows: keys/values/freqs/versions.
+
+    Analog of ``EmbeddingVar::GetSnapshot`` (``embedding_var.h:211``).
+    """
+    key_hi = np.asarray(state.table.key_hi)
+    key_lo = np.asarray(state.table.key_lo)
+    ids = keylib.join_ids(key_hi, key_lo)
+    live = ~np.isin(ids, (keylib.EMPTY_ID, keylib.TOMB_ID))
+    idx = np.nonzero(live)[0]
+    out = {
+        "keys": ids[idx],
+        "values": np.asarray(state.values)[idx],
+        "freqs": np.asarray(state.freqs)[idx],
+        "versions": np.asarray(state.versions)[idx],
+    }
+    if state.bloom.shape[0]:
+        out["bloom"] = np.asarray(state.bloom)
+    return out
+
+
+def import_arrays(
+    cfg: cfglib.TableConfig,
+    state: EVState,
+    arrays: dict[str, np.ndarray],
+    partition_id: int = 0,
+    partition_num: int = 1,
+    chunk: int = 8192,
+) -> EVState:
+    """Bulk-restore rows, keeping only keys whose shard hash maps to this
+    partition — restore-time re-sharding, the ``KvResourceImportV2``
+    behavior that lets a checkpoint from N shards restore onto M.
+    """
+    ids = np.asarray(arrays["keys"], np.int64)
+    if partition_num > 1:
+        hi_np, lo_np = keylib.split_ids(ids)
+        owner = np.asarray(
+            keylib.shard_of(jnp.asarray(hi_np), jnp.asarray(lo_np),
+                            partition_num))
+        keep = owner == partition_id
+        ids = ids[keep]
+        vals = np.asarray(arrays["values"])[keep]
+        freqs = np.asarray(arrays["freqs"])[keep]
+        versions = np.asarray(arrays["versions"])[keep]
+    else:
+        vals = np.asarray(arrays["values"])
+        freqs = np.asarray(arrays["freqs"])
+        versions = np.asarray(arrays["versions"])
+
+    if "bloom" in arrays and state.bloom.shape[0]:
+        state = state.replace(bloom=jnp.asarray(arrays["bloom"]))
+
+    n = ids.shape[0]
+    capacity = cfg.capacity
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        pad = chunk - (end - start)
+        batch = np.concatenate(
+            [ids[start:end],
+             np.full(pad, keylib.EMPTY_ID, np.int64)])
+        hi, lo = keylib.split_ids(batch)
+        table, slots, _ = ht.find_or_insert(
+            state.table, jnp.asarray(hi), jnp.asarray(lo),
+            jnp.ones(chunk, bool), max_probes=cfg.max_probes)
+        widx = _drop_idx(slots, capacity)
+        v = np.zeros((chunk, cfg.dim), np.asarray(vals).dtype)
+        fr = np.zeros((chunk,), np.int32)
+        ver = np.full((chunk,), -1, np.int32)
+        v[: end - start] = vals[start:end]
+        fr[: end - start] = freqs[start:end]
+        ver[: end - start] = versions[start:end]
+        state = state.replace(
+            table=table,
+            values=state.values.at[widx].set(
+                jnp.asarray(v).astype(state.values.dtype), mode="drop"),
+            freqs=state.freqs.at[widx].set(jnp.asarray(fr), mode="drop"),
+            versions=state.versions.at[widx].set(
+                jnp.asarray(ver), mode="drop"),
+        )
+    return state
