@@ -179,12 +179,14 @@ def find_or_insert(
         pending = pending & want_insert
         return (r, key_hi, key_lo, slots, is_new, pending)
 
+    # Derive initial carries from the (possibly axis-varying) queries so
+    # their vma tags match the loop outputs under shard_map.
     state = (
         jnp.int32(0),
         table.key_hi,
         table.key_lo,
-        jnp.full((n,), capacity, dtype=jnp.int32),
-        jnp.zeros((n,), dtype=jnp.bool_),
+        jnp.full((n,), capacity, dtype=jnp.int32) + (qhi & 0),
+        jnp.zeros((n,), dtype=jnp.bool_) | (qhi != qhi),
         init_pending,
     )
     _, key_hi, key_lo, slots, is_new, _ = jax.lax.while_loop(

@@ -1,0 +1,219 @@
+"""Row-sharded embedding tables over a device mesh.
+
+TPU-native replacement for both of the reference's distribution schemes:
+
+  * PS-sharded EmbeddingVariables — ``tf.fixed_size_partitioner`` mod
+    routing in ``_embedding_lookup_and_transform``
+    (``python/ops/embedding_ops.py:95-276``), where ids are routed to
+    the parameter server owning the partition; and
+  * SOK's synchronous model-parallel GPU embedding — NCCL all2all of
+    ids, gather on the owner, all2all of embeddings back
+    (``sparse_operation_kit/kit_cc_impl/embedding/dispatcher/
+    all2all_input_dispatcher.cu``).
+
+Here every device in a 1-D mesh axis owns one hash-table shard; ids are
+bucketed by a shard hash, exchanged over ICI with
+``jax.lax.all_to_all``, looked up on the owner, and exchanged back.
+All functions are written to run INSIDE ``jax.shard_map`` over the
+named axis; they see per-device local arrays.
+
+Gradient structure mirrors ``lookup.py``: the owner-side unique rows
+are the differentiable input; the return exchange, un-permutation and
+bag combine live inside the loss, so JAX's all_to_all transpose routes
+cotangents back to the owner shard where the sparse optimizer applies
+them — no parameter-server round trip, no dense table gradient.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.embedding import lookup as lkup
+from deeprec_tpu.embedding import variable as ev
+from deeprec_tpu.utils import keys as keylib
+
+
+class Routing(NamedTuple):
+    """Per-device routing metadata from one sharded lookup."""
+
+    dest: jax.Array           # [n_unique_local] slot in the send buffer,
+                              # S*K == dropped/overflow
+    owner_inverse: jax.Array  # [S*K] recv entry -> owner-unique index
+    inverse: jax.Array        # [B, L] local occurrence -> local unique
+    mask: jax.Array           # [B, L] non-padding positions
+    n_overflow: jax.Array     # [] int32 ids dropped by capacity factor
+
+
+def _route_ids(uhi, ulo, num_shards: int, per_peer: int):
+    """Bucket local unique ids by owner into an [S, K] send layout.
+
+    Returns (send [S, K, 3] int32 (hi, lo, count-slot placeholder),
+    dest [n]).  Ids beyond ``per_peer`` for a hot owner overflow (they
+    read zeros and receive no update this step) — the capacity-factor
+    margin from SURVEY's skew note; count them for observability.
+    """
+    n = uhi.shape[0]
+    S, K = num_shards, per_peer
+    is_real = uhi != keylib.EMPTY_HI
+    owner = jnp.where(is_real, keylib.shard_of(uhi, ulo, S), S)
+    order = jnp.argsort(owner)
+    sorted_owner = owner[order]
+    starts = jnp.searchsorted(sorted_owner, jnp.arange(S + 1))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[
+        jnp.minimum(sorted_owner, S)].astype(jnp.int32)
+    ok = (sorted_owner < S) & (rank < K)
+    dest_sorted = jnp.where(ok, sorted_owner * K + rank, S * K)
+    dest = jnp.zeros((n,), jnp.int32).at[order].set(dest_sorted)
+    n_overflow = jnp.sum((~ok) & (sorted_owner < S))
+    return dest, n_overflow.astype(jnp.int32)
+
+
+def _fill_send(dest, payload, fill, S, K):
+    """Scatter [n] payload into the [S*K] send buffer (drop overflow)."""
+    buf = jnp.full((S * K,), fill, payload.dtype)
+    return buf.at[dest].set(payload, mode="drop")
+
+
+class ShardedBagLookup(NamedTuple):
+    lk: ev.LookupResult   # owner-side unique rows (differentiable input)
+    routing: Routing
+
+
+def bag_lookup_train(
+    cfg: cfglib.TableConfig,
+    state: ev.EVState,
+    ids_hi,
+    ids_lo,
+    global_step,
+    *,
+    axis_name: str,
+    capacity_factor: float = 2.0,
+    salt: int = 0,
+) -> tuple[ev.EVState, ShardedBagLookup]:
+    """Sharded training lookup. Call inside shard_map over ``axis_name``.
+
+    ``cfg.capacity`` is the PER-SHARD capacity; ``state`` is this
+    device's shard.  ``ids_hi/ids_lo``: local [B, L] padded-dense batch.
+    """
+    S = jax.lax.axis_size(axis_name)
+    B, L = ids_hi.shape
+    n = B * L
+    dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
+    K = max(8, int(-(-n * capacity_factor // S)))
+    K = -(-K // 8) * 8  # multiple of 8 for clean tiling
+
+    dest, n_overflow = _route_ids(dd.uhi, dd.ulo, S, K)
+    send = jnp.stack(
+        [
+            _fill_send(dest, dd.uhi, keylib.EMPTY_HI, S, K),
+            _fill_send(dest, dd.ulo, keylib.EMPTY_LO, S, K),
+            _fill_send(dest, dd.counts, jnp.int32(0), S, K),
+        ],
+        axis=-1,
+    ).reshape(S, K, 3)
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    rhi = recv[..., 0].reshape(-1)
+    rlo = recv[..., 1].reshape(-1)
+    rcnt = recv[..., 2].reshape(-1)
+
+    # Owner-side dedup: the same id may arrive from several peers; the
+    # optimizer must see it once, with summed counts.
+    ddo = lkup.dedup(rhi, rlo)
+    csum = jax.ops.segment_sum(rcnt, ddo.inverse, num_segments=S * K)
+
+    state, lk = ev.lookup_train(
+        cfg, state, ddo.uhi, ddo.ulo, csum, global_step, salt=salt)
+    mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
+    routing = Routing(
+        dest=dest,
+        owner_inverse=ddo.inverse,
+        inverse=dd.inverse.reshape(B, L),
+        mask=mask,
+        n_overflow=n_overflow,
+    )
+    return state, ShardedBagLookup(lk=lk, routing=routing)
+
+
+def combine(owner_rows, sbl_or_routing, combiner: str, *, axis_name: str):
+    """Exchange owner rows back and combine into [B, dim] bags.
+
+    Differentiable in ``owner_rows``; use inside the loss.  The a2a here
+    is the reverse direction of the id exchange, and its autodiff
+    transpose routes gradients back to the owner shard.
+    """
+    r = (sbl_or_routing.routing
+         if isinstance(sbl_or_routing, ShardedBagLookup) else sbl_or_routing)
+    SK = r.owner_inverse.shape[0]
+    S = jax.lax.axis_size(axis_name)
+    K = SK // S
+    dim = owner_rows.shape[-1]
+    per_recv = owner_rows[r.owner_inverse]            # [S*K, dim]
+    back = jax.lax.all_to_all(
+        per_recv.reshape(S, K, dim), axis_name,
+        split_axis=0, concat_axis=0, tiled=True).reshape(SK, dim)
+    # Overflow ids read a zero row (index S*K).
+    back = jnp.concatenate([back, jnp.zeros((1, dim), back.dtype)], axis=0)
+    local_rows = back[r.dest]                          # [n_unique_local, dim]
+    return lkup.combine_bags(local_rows, r.inverse, r.mask, combiner)
+
+
+def bag_lookup_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
+                     combiner=None, capacity_factor: float = 2.0):
+    """Inference path: route, lookup (no mutation), combine."""
+    S = jax.lax.axis_size(axis_name)
+    B, L = ids_hi.shape
+    n = B * L
+    dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
+    K = max(8, int(-(-n * capacity_factor // S)))
+    K = -(-K // 8) * 8
+    dest, _ = _route_ids(dd.uhi, dd.ulo, S, K)
+    send = jnp.stack(
+        [
+            _fill_send(dest, dd.uhi, keylib.EMPTY_HI, S, K),
+            _fill_send(dest, dd.ulo, keylib.EMPTY_LO, S, K),
+        ],
+        axis=-1,
+    ).reshape(S, K, 2)
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    rows = ev.lookup(cfg, state, recv[..., 0].reshape(-1),
+                     recv[..., 1].reshape(-1))
+    back = jax.lax.all_to_all(
+        rows.reshape(S, K, -1), axis_name,
+        split_axis=0, concat_axis=0, tiled=True).reshape(S * K, -1)
+    back = jnp.concatenate([back, jnp.zeros((1, back.shape[1]), back.dtype)],
+                           axis=0)
+    local_rows = back[dest]
+    mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
+    inverse = dd.inverse.reshape(B, L)
+    return lkup.combine_bags(local_rows, inverse, mask,
+                             combiner or cfg.combiner)
+
+
+# ---------------------------------------------------------------------------
+# Helpers for holding a sharded table as one global array (outside
+# shard_map): every EVState leaf gets a leading [num_shards] axis that is
+# sharded over the mesh axis.
+# ---------------------------------------------------------------------------
+
+def create_stacked(cfg: cfglib.TableConfig, num_shards: int,
+                   salt: int = 0) -> ev.EVState:
+    """Global representation: leading shard axis on every leaf."""
+    one = ev.create(cfg, salt=salt)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (num_shards,) + x.shape), one)
+
+
+def local_of(stacked: ev.EVState) -> ev.EVState:
+    """Inside shard_map with in_spec P(axis): strip the local leading 1."""
+    return jax.tree.map(lambda x: x[0], stacked)
+
+
+def stacked_of(local: ev.EVState) -> ev.EVState:
+    """Re-add the leading local shard axis for shard_map out_spec."""
+    return jax.tree.map(lambda x: x[None], local)

@@ -95,7 +95,10 @@ def create(cfg: cfglib.TableConfig, salt: int = 0) -> EVState:
     if isinstance(f, cfglib.CBFFilter):
         bloom = jnp.zeros((f.num_counters,), jnp.int32)
     else:
-        bloom = jnp.zeros((0,), jnp.int32)
+        # 1-element dummy rather than 0-size: XLA canonicalizes 0-sized
+        # arrays to replicated shardings, which clashes with uniform
+        # P(axis) specs when the state crosses a shard_map boundary.
+        bloom = jnp.zeros((1,), jnp.int32)
     return EVState(
         table=ht.create(capacity),
         values=jnp.zeros((capacity + 1, dim), cfg.dtype),
@@ -276,7 +279,7 @@ def export_arrays(cfg: cfglib.TableConfig, state: EVState) -> dict[str, np.ndarr
         "freqs": np.asarray(state.freqs)[idx],
         "versions": np.asarray(state.versions)[idx],
     }
-    if state.bloom.shape[0]:
+    if isinstance(cfg.ev_option.filter_option, cfglib.CBFFilter):
         out["bloom"] = np.asarray(state.bloom)
     return out
 
@@ -309,7 +312,8 @@ def import_arrays(
         freqs = np.asarray(arrays["freqs"])
         versions = np.asarray(arrays["versions"])
 
-    if "bloom" in arrays and state.bloom.shape[0]:
+    if "bloom" in arrays and isinstance(
+            cfg.ev_option.filter_option, cfglib.CBFFilter):
         state = state.replace(bloom=jnp.asarray(arrays["bloom"]))
 
     n = ids.shape[0]

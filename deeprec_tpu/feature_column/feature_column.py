@@ -1,0 +1,304 @@
+"""Feature columns: declarative input -> model-feature mapping.
+
+TPU rebuild of the reference's feature-column layer as used by the
+modelzoo (``python/feature_column/feature_column_v2.py:2050``
+``categorical_column_with_embedding``, ``embedding_column``,
+shared-embedding, numeric_column; ``modelzoo/WDL/train.py:328``
+``build_feature_columns``).  The graph-building machinery of TF feature
+columns is unnecessary here — a column is a frozen config, and
+``EmbeddingGroup`` executes all of a model's lookups inside the jitted
+step.
+
+Batch convention (produced by ``deeprec_tpu.data``):
+  * numeric column ``name`` -> float32 [B] or [B, k]
+  * sparse column ``name``  -> ``SparseIds(hi [B, L], lo [B, L])``,
+    padded with the EMPTY sentinel id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.embedding import lookup as lkup
+from deeprec_tpu.embedding import sharded
+from deeprec_tpu.embedding import variable as ev
+from deeprec_tpu.utils import keys as keylib
+
+
+class SparseIds(NamedTuple):
+    """Padded-dense sparse feature: split int64 ids."""
+
+    hi: jax.Array  # [B, L] int32
+    lo: jax.Array  # [B, L] int32
+
+    @staticmethod
+    def from_numpy(ids: np.ndarray) -> "SparseIds":
+        hi, lo = keylib.split_ids(np.asarray(ids, np.int64).reshape(-1))
+        return SparseIds(
+            jnp.asarray(hi).reshape(ids.shape),
+            jnp.asarray(lo).reshape(ids.shape))
+
+
+@dataclasses.dataclass(frozen=True)
+class NumericColumn:
+    """``tf.feature_column.numeric_column`` analog."""
+
+    name: str
+    shape: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingColumn:
+    """``categorical_column_with_embedding`` + ``embedding_column``
+    collapsed into one config (the categorical stage is host-side id
+    hashing in the data pipeline; EV tables accept raw int64 ids).
+
+    ``shared_name`` makes several columns share one physical table
+    (``shared_embedding_columns`` analog).
+    """
+
+    name: str
+    dim: int
+    capacity: int = 1 << 17
+    combiner: str = "mean"
+    initializer: str = "truncated_normal"
+    init_scale: float = 1.0
+    ev_option: cfglib.EmbeddingVariableOption = dataclasses.field(
+        default_factory=cfglib.EmbeddingVariableOption)
+    shared_name: Optional[str] = None
+    max_probes: int = 64
+
+    @property
+    def table_name(self) -> str:
+        return self.shared_name or self.name
+
+    def table_config(self) -> cfglib.TableConfig:
+        return cfglib.TableConfig(
+            name=self.table_name, dim=self.dim, capacity=self.capacity,
+            initializer=self.initializer, init_scale=self.init_scale,
+            ev_option=self.ev_option, combiner=self.combiner,
+            max_probes=self.max_probes)
+
+
+@dataclasses.dataclass(frozen=True)
+class SequenceEmbeddingColumn(EmbeddingColumn):
+    """Behavior-sequence column: lookup returns per-position rows
+    [B, L, dim] plus the mask instead of a combined bag (DIN/DIEN/BST
+    input, ``modelzoo/DIN/train.py`` sequence features)."""
+
+
+class ColumnLookup(NamedTuple):
+    """Differentiation-side info for one column's lookup."""
+
+    column: Any
+    table_name: str
+    inverse: jax.Array   # [B, L]
+    mask: jax.Array      # [B, L]
+    routing: Optional[sharded.Routing]  # sharded mode only
+
+
+class GroupLookup(NamedTuple):
+    """All lookups of one step."""
+
+    lks: Dict[str, ev.LookupResult]      # per table (rows = diff inputs)
+    columns: Dict[str, ColumnLookup]     # per column
+
+
+class EmbeddingGroup:
+    """Owns every embedding table of a model; runs lookups/updates.
+
+    Plays the role of the reference's coalesced embedding utilities and
+    ``input_layer`` (``python/feature_column/coalesced_utils.py``): one
+    object that maps a feature batch to per-column dense tensors and
+    routes gradients back into sparse applies.
+    """
+
+    def __init__(self, columns: Sequence[Any], *,
+                 axis_name: Optional[str] = None,
+                 num_shards: int = 1,
+                 capacity_factor: float = 2.0):
+        self.numeric = [c for c in columns
+                        if isinstance(c, NumericColumn)]
+        self.embedding = [c for c in columns
+                          if isinstance(c, EmbeddingColumn)]
+        self.axis_name = axis_name
+        self.num_shards = num_shards
+        self.capacity_factor = capacity_factor
+        self.tables: Dict[str, cfglib.TableConfig] = {}
+        self.salts: Dict[str, int] = {}
+        for c in self.embedding:
+            tc = c.table_config()
+            if tc.name in self.tables:
+                if self.tables[tc.name].dim != tc.dim:
+                    raise ValueError(
+                        f"shared table {tc.name}: dim mismatch")
+            else:
+                # Per-shard capacity when sharded.
+                if num_shards > 1:
+                    tc = dataclasses.replace(
+                        tc, capacity=max(8, tc.capacity // num_shards))
+                self.salts[tc.name] = len(self.tables) + 1
+                self.tables[tc.name] = tc
+
+    # -- state ----------------------------------------------------------
+    def create_state(self) -> Dict[str, ev.EVState]:
+        if self.num_shards > 1:
+            return {n: sharded.create_stacked(c, self.num_shards,
+                                              salt=self.salts[n])
+                    for n, c in self.tables.items()}
+        return {n: ev.create(c, salt=self.salts[n])
+                for n, c in self.tables.items()}
+
+    def init_optimizer(self, opt) -> Dict[str, Any]:
+        slots = {n: opt.init(c) for n, c in self.tables.items()}
+        if self.num_shards > 1:
+            slots = {
+                n: jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x[None], (self.num_shards,) + x.shape), s)
+                for n, s in slots.items()
+            }
+        return slots
+
+    # -- lookup (call inside jit / shard_map) ----------------------------
+    def lookup_train(self, states, batch, global_step):
+        """Returns (states', GroupLookup). In sharded mode, call inside
+        shard_map; ``states`` leaves then carry the local [1, ...] shard
+        axis (see ``sharded.local_of``)."""
+        new_states = dict(states)
+        lks: Dict[str, ev.LookupResult] = {}
+        cols: Dict[str, ColumnLookup] = {}
+        # Group columns by table so shared tables look up once over the
+        # concatenated id matrix.
+        by_table: Dict[str, list] = {}
+        for c in self.embedding:
+            by_table.setdefault(c.table_name, []).append(c)
+        for tname, tcols in by_table.items():
+            cfg = self.tables[tname]
+            sid = [batch[c.name] for c in tcols]
+            widths = [s.hi.shape[1] for s in sid]
+            ids_hi = jnp.concatenate([s.hi for s in sid], axis=1)
+            ids_lo = jnp.concatenate([s.lo for s in sid], axis=1)
+            if self.axis_name is not None:
+                local = sharded.local_of(new_states[tname])
+                local, sbl = sharded.bag_lookup_train(
+                    cfg, local, ids_hi, ids_lo, global_step,
+                    axis_name=self.axis_name,
+                    capacity_factor=self.capacity_factor,
+                    salt=self.salts[tname])
+                new_states[tname] = sharded.stacked_of(local)
+                lks[tname] = sbl.lk
+                routing = sbl.routing
+                inverse, mask = routing.inverse, routing.mask
+            else:
+                new_states[tname], bl = lkup.bag_lookup_train(
+                    cfg, new_states[tname], ids_hi, ids_lo, global_step,
+                    salt=self.salts[tname])
+                lks[tname] = bl.lk
+                routing = None
+                inverse, mask = bl.inverse, bl.mask
+            off = 0
+            for c, w in zip(tcols, widths):
+                cols[c.name] = ColumnLookup(
+                    column=c, table_name=tname,
+                    inverse=inverse[:, off:off + w],
+                    mask=mask[:, off:off + w],
+                    routing=routing)
+                off += w
+        return new_states, GroupLookup(lks=lks, columns=cols)
+
+    def combine(self, gl: GroupLookup, rows: Dict[str, jax.Array]):
+        """rows[table] -> per-column embeddings. Differentiable in rows.
+
+        Bag columns -> [B, dim]; SequenceEmbeddingColumn -> ([B, L, dim],
+        mask [B, L]).
+        """
+        out = {}
+        # In sharded mode, exchange each table's owner rows back once.
+        local_rows: Dict[str, jax.Array] = {}
+        for tname, lk in gl.lks.items():
+            if self.axis_name is not None:
+                anycol = next(cl for cl in gl.columns.values()
+                              if cl.table_name == tname)
+                r = anycol.routing
+                SK = r.owner_inverse.shape[0]
+                S = jax.lax.axis_size(self.axis_name)
+                dim = rows[tname].shape[-1]
+                per_recv = rows[tname][r.owner_inverse]
+                back = jax.lax.all_to_all(
+                    per_recv.reshape(S, SK // S, dim), self.axis_name,
+                    split_axis=0, concat_axis=0, tiled=True).reshape(SK, dim)
+                back = jnp.concatenate(
+                    [back, jnp.zeros((1, dim), back.dtype)], axis=0)
+                local_rows[tname] = back[r.dest]
+            else:
+                local_rows[tname] = rows[tname]
+        for cname, cl in gl.columns.items():
+            r = local_rows[cl.table_name]
+            if isinstance(cl.column, SequenceEmbeddingColumn):
+                seq = r[cl.inverse] * cl.mask[..., None].astype(r.dtype)
+                out[cname] = (seq, cl.mask)
+            else:
+                out[cname] = lkup.combine_bags(
+                    r, cl.inverse, cl.mask, cl.column.combiner)
+        return out
+
+    def apply_gradients(self, opt, slot_states, states, gl: GroupLookup,
+                        grad_rows: Dict[str, jax.Array], global_step,
+                        lr=None):
+        """Sparse-apply each table's row gradients. Returns
+        (slot_states', states')."""
+        new_slots = dict(slot_states)
+        new_states = dict(states)
+        for tname, g in grad_rows.items():
+            cfg = self.tables[tname]
+            if self.num_shards > 1:
+                st = sharded.local_of(new_states[tname])
+                sl = jax.tree.map(lambda x: x[0], new_slots[tname])
+            else:
+                st = new_states[tname]
+                sl = new_slots[tname]
+            sl, values = opt.apply(cfg, sl, st.values, gl.lks[tname], g,
+                                   global_step, lr=lr)
+            st = st.replace(values=values)
+            if self.num_shards > 1:
+                new_states[tname] = sharded.stacked_of(st)
+                new_slots[tname] = jax.tree.map(lambda x: x[None], sl)
+            else:
+                new_states[tname] = st
+                new_slots[tname] = sl
+        return new_slots, new_states
+
+    def shrink(self, states, global_step):
+        """Host-callable eviction pass over every table (checkpoint-time
+        shrink)."""
+        out = {}
+        for tname, cfg in self.tables.items():
+            if self.num_shards > 1:
+                shards = []
+                host = states[tname]
+                for s in range(self.num_shards):
+                    shard = jax.tree.map(lambda x: x[s], host)
+                    shards.append(ev.shrink(cfg, shard, global_step))
+                out[tname] = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+            else:
+                out[tname] = ev.shrink(cfg, states[tname], global_step)
+        return out
+
+    def numeric_features(self, batch):
+        """Stack numeric columns -> [B, sum(shapes)] float32."""
+        parts = []
+        for c in self.numeric:
+            x = batch[c.name].astype(jnp.float32)
+            if x.ndim == 1:
+                x = x[:, None]
+            parts.append(x)
+        if not parts:
+            return None
+        return jnp.concatenate(parts, axis=1)

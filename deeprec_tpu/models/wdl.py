@@ -1,0 +1,69 @@
+"""WDL (Wide & Deep) — rebuild of ``modelzoo/WDL/train.py``.
+
+Wide part: per-categorical dim-1 embeddings summed into a linear logit
+(the reference's linear feature columns); deep part: MLP over
+[numeric, deep embeddings] with the reference tower sizes
+(``modelzoo/WDL/train.py:97-180``: 1024/512/256).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.feature_column.feature_column import (EmbeddingColumn,
+                                                       NumericColumn)
+from deeprec_tpu.layers.core import MLP, LogitsHead
+
+NUM_INT = 13
+NUM_CAT = 26
+
+
+def criteo_columns(
+    embedding_dim: int = 16,
+    capacity: int = 1 << 16,
+    ev_option: cfglib.EmbeddingVariableOption | None = None,
+    combiner: str = "mean",
+):
+    """Criteo-Kaggle column set: I1..I13 numeric, C1..C26 categorical,
+    each with a deep embedding and a wide (dim-1) embedding."""
+    ev_option = ev_option or cfglib.EmbeddingVariableOption()
+    cols = [NumericColumn(f"I{i}") for i in range(1, NUM_INT + 1)]
+    for i in range(1, NUM_CAT + 1):
+        cols.append(EmbeddingColumn(
+            name=f"C{i}", dim=embedding_dim, capacity=capacity,
+            combiner=combiner, ev_option=ev_option))
+        cols.append(EmbeddingColumn(
+            name=f"C{i}_wide", dim=1, capacity=capacity, combiner="sum",
+            initializer="zeros", ev_option=ev_option))
+    return cols
+
+
+class WDL(nn.Module):
+    """embs: dict with C*/C*_wide entries; numeric [B, 13]."""
+
+    hidden: Sequence[int] = (1024, 512, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, embs, numeric):
+        wide = [v for k, v in sorted(embs.items()) if k.endswith("_wide")]
+        deep = [v for k, v in sorted(embs.items())
+                if not k.endswith("_wide")]
+        wide_logit = jnp.sum(jnp.concatenate(wide, axis=1), axis=1)
+        x = jnp.concatenate(deep + ([numeric] if numeric is not None else []),
+                            axis=1)
+        h = MLP(units=self.hidden, dtype=self.dtype, name="deep")(x)
+        h = nn.relu(h)
+        deep_logit = LogitsHead(name="head")(h)
+        return deep_logit + wide_logit.astype(jnp.float32)
+
+
+def apply_fn(module: WDL, group):
+    def fn(params, embs, batch):
+        return module.apply({"params": params}, embs,
+                            group.numeric_features(batch))
+    return fn

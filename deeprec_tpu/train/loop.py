@@ -1,0 +1,199 @@
+"""Training loop: jitted SPMD train/eval steps.
+
+Replaces the reference's MonitoredTrainingSession + executor stack
+(``python/training/monitored_session.py``, ``common_runtime/
+direct_session.cc``): there is no graph rewriting or executor policy to
+choose — the whole step (lookup, exchange, model, optimizers) is one
+XLA program, and the PS architecture is replaced by synchronous SPMD
+over a 1-D mesh (SURVEY §2.2 "TPU-native equivalents").
+
+Two modes share the same step code:
+  * single-device ``jit`` (mesh=None)
+  * ``shard_map`` over mesh axis "data": batch data-parallel, dense
+    params replicated (psum'd grads), EV tables row-sharded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import PartitionSpec as P
+
+from deeprec_tpu.feature_column.feature_column import EmbeddingGroup
+
+
+@struct.dataclass
+class TrainState:
+    params: Any                 # dense model params (replicated)
+    dense_opt: Any              # optax state (replicated)
+    ev: Dict[str, Any]          # EVState per table (row-sharded)
+    slots: Dict[str, Any]       # sparse-optimizer slots (row-sharded)
+    step: jax.Array             # int32 global step (replicated)
+
+
+def create_train_state(group: EmbeddingGroup, params, dense_tx,
+                       sparse_opt) -> TrainState:
+    return TrainState(
+        params=params,
+        dense_opt=dense_tx.init(params),
+        ev=group.create_state(),
+        slots=group.init_optimizer(sparse_opt),
+        step=jnp.int32(0),
+    )
+
+
+def _spec_tree(ts: TrainState, axis: str):
+    """shard_map in/out specs: EV + slots sharded on the axis, the rest
+    replicated."""
+    shard = lambda tree: jax.tree.map(lambda _: P(axis), tree)
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+    return TrainState(
+        params=rep(ts.params), dense_opt=rep(ts.dense_opt),
+        ev=shard(ts.ev), slots=shard(ts.slots), step=P())
+
+
+def make_train_step(
+    group: EmbeddingGroup,
+    apply_fn: Callable,           # (params, embs, batch) -> model outputs
+    loss_fn: Callable,            # (outputs, batch) -> per-example [B]
+    sparse_opt,
+    dense_tx: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step: (TrainState, batch) -> (TrainState,
+    metrics dict). Batch leaves are [B_local*S, ...] global arrays in
+    mesh mode (sharded on dim 0)."""
+    axis = group.axis_name
+
+    def _step(ts: TrainState, batch):
+        gs = ts.step
+        states, gl = group.lookup_train(ts.ev, batch, gs)
+        rows = {t: lk.rows for t, lk in gl.lks.items()}
+
+        def loss_of(params, rows):
+            embs = group.combine(gl, rows)
+            out = apply_fn(params, embs, batch)
+            per_ex = loss_fn(out, batch)
+            denom = per_ex.shape[0]
+            if axis is not None:
+                denom = denom * jax.lax.axis_size(axis)
+            return jnp.sum(per_ex) / denom, out
+
+        (loss, out), (gparams, grows) = jax.value_and_grad(
+            loss_of, argnums=(0, 1), has_aux=True)(ts.params, rows)
+        if axis is not None:
+            gparams = jax.lax.psum(gparams, axis)
+            loss = jax.lax.psum(loss, axis)
+        updates, dopt = dense_tx.update(gparams, ts.dense_opt, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        slots, states = group.apply_gradients(
+            sparse_opt, ts.slots, states, gl, grows, gs)
+        new_ts = TrainState(params=params, dense_opt=dopt, ev=states,
+                            slots=slots, step=gs + 1)
+        metrics = {"loss": loss}
+        return new_ts, metrics
+
+    if mesh is None:
+        return jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+    def wrapped(ts, batch):
+        specs = _spec_tree(ts, axis)
+        batch_specs = jax.tree.map(lambda _: P(axis), batch)
+        return jax.shard_map(
+            _step, mesh=mesh,
+            in_specs=(specs, batch_specs),
+            out_specs=(specs, {"loss": P()}),
+        )(ts, batch)
+
+    return jax.jit(wrapped, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
+    """(TrainState, batch) -> model outputs (no mutation)."""
+    axis = group.axis_name
+
+    def _eval(ts: TrainState, batch):
+        # Inference lookups: no insert/count. Reuse lookup_train's
+        # routing but drop state mutations by discarding the new state.
+        from deeprec_tpu.embedding import lookup as lkup
+        from deeprec_tpu.embedding import sharded as shlib
+        from deeprec_tpu.embedding import variable as ev
+        from deeprec_tpu.feature_column import feature_column as fclib
+
+        embs = {}
+        by_table = {}
+        for c in group.embedding:
+            by_table.setdefault(c.table_name, []).append(c)
+        for tname, tcols in by_table.items():
+            cfg = group.tables[tname]
+            sid = [batch[c.name] for c in tcols]
+            widths = [s.hi.shape[1] for s in sid]
+            ids_hi = jnp.concatenate([s.hi for s in sid], axis=1)
+            ids_lo = jnp.concatenate([s.lo for s in sid], axis=1)
+            import deeprec_tpu.utils.keys as keylib
+            mask = ~((ids_hi == keylib.EMPTY_HI)
+                     & (ids_lo == keylib.EMPTY_LO))
+            if axis is not None:
+                state = shlib.local_of(ts.ev[tname])
+            else:
+                state = ts.ev[tname]
+            B, L = ids_hi.shape
+            if axis is not None:
+                dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
+                S = jax.lax.axis_size(axis)
+                n = B * L
+                K = max(8, int(-(-n * group.capacity_factor // S)))
+                K = -(-K // 8) * 8
+                dest, _ = shlib._route_ids(dd.uhi, dd.ulo, S, K)
+                send = jnp.stack(
+                    [shlib._fill_send(dest, dd.uhi, keylib.EMPTY_HI, S, K),
+                     shlib._fill_send(dest, dd.ulo, keylib.EMPTY_LO, S, K)],
+                    axis=-1).reshape(S, K, 2)
+                recv = jax.lax.all_to_all(send, axis, split_axis=0,
+                                          concat_axis=0, tiled=True)
+                rows = ev.lookup(cfg, state, recv[..., 0].reshape(-1),
+                                 recv[..., 1].reshape(-1))
+                back = jax.lax.all_to_all(
+                    rows.reshape(S, K, -1), axis, split_axis=0,
+                    concat_axis=0, tiled=True).reshape(S * K, -1)
+                back = jnp.concatenate(
+                    [back, jnp.zeros((1, back.shape[1]), back.dtype)], 0)
+                local_rows = back[dest]
+                inverse = dd.inverse.reshape(B, L)
+            else:
+                local_rows = ev.lookup(cfg, state, ids_hi.reshape(-1),
+                                       ids_lo.reshape(-1))
+                inverse = jnp.arange(B * L).reshape(B, L)
+            off = 0
+            for c, w in zip(tcols, widths):
+                inv_c = inverse[:, off:off + w]
+                m_c = mask[:, off:off + w]
+                if isinstance(c, fclib.SequenceEmbeddingColumn):
+                    seq = local_rows[inv_c] * m_c[..., None].astype(
+                        local_rows.dtype)
+                    embs[c.name] = (seq, m_c)
+                else:
+                    embs[c.name] = lkup.combine_bags(
+                        local_rows, inv_c, m_c, c.combiner)
+                off += w
+        return apply_fn(ts.params, embs, batch)
+
+    if mesh is None:
+        return jax.jit(_eval)
+
+    def wrapped(ts, batch):
+        specs = _spec_tree(ts, axis)
+        batch_specs = jax.tree.map(lambda _: P(axis), batch)
+        return jax.shard_map(
+            _eval, mesh=mesh,
+            in_specs=(specs, batch_specs),
+            out_specs=P(axis),
+        )(ts, batch)
+
+    return jax.jit(wrapped)

@@ -23,4 +23,6 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def mesh8():
-    return jax.make_mesh((8,), ("data",))
+    from deeprec_tpu.parallel.mesh import data_mesh
+
+    return data_mesh(8)

