@@ -68,6 +68,24 @@ class SyntheticCriteo:
             yield self.next_batch()
 
 
+class SyntheticMultiTask(SyntheticCriteo):
+    """Criteo-style features with (click, conversion) labels for the
+    multi-task zoo; conversion only happens on clicked impressions
+    (the ESMM entire-space assumption)."""
+
+    def next_batch(self) -> Dict:
+        batch = super().next_batch()
+        click = batch.pop("label")
+        B = click.shape[0]
+        conv_p = 1.0 / (1.0 + np.exp(
+            -(batch["I1"] + batch["I2"])))
+        conversion = ((self.rng.random(B) < conv_p) & (click > 0.5)
+                      ).astype(np.float32)
+        batch["click"] = click
+        batch["conversion"] = conversion
+        return batch
+
+
 def parse_criteo_lines(lines, hash_mod: Optional[int] = None):
     """Parse raw Kaggle TSV lines -> (labels, ints, cats int64).
 

@@ -291,31 +291,39 @@ def import_arrays(
     partition_id: int = 0,
     partition_num: int = 1,
     chunk: int = 8192,
-) -> EVState:
+    extra_targets: Optional[dict[str, Any]] = None,
+):
     """Bulk-restore rows, keeping only keys whose shard hash maps to this
     partition — restore-time re-sharding, the ``KvResourceImportV2``
     behavior that lets a checkpoint from N shards restore onto M.
+
+    ``extra_targets``: additional row-aligned device arrays ([C+1, ...],
+    e.g. optimizer slot rows) to scatter; ``arrays`` must then contain
+    matching "slot/<name>" host arrays [N, ...].  Returns ``state`` (and
+    the updated extras dict when given).
     """
     ids = np.asarray(arrays["keys"], np.int64)
+    extra_names = list(extra_targets.keys()) if extra_targets else []
     if partition_num > 1:
         hi_np, lo_np = keylib.split_ids(ids)
         owner = np.asarray(
             keylib.shard_of(jnp.asarray(hi_np), jnp.asarray(lo_np),
                             partition_num))
         keep = owner == partition_id
-        ids = ids[keep]
-        vals = np.asarray(arrays["values"])[keep]
-        freqs = np.asarray(arrays["freqs"])[keep]
-        versions = np.asarray(arrays["versions"])[keep]
     else:
-        vals = np.asarray(arrays["values"])
-        freqs = np.asarray(arrays["freqs"])
-        versions = np.asarray(arrays["versions"])
+        keep = np.ones(ids.shape[0], bool)
+    ids = ids[keep]
+    vals = np.asarray(arrays["values"])[keep]
+    freqs = np.asarray(arrays["freqs"])[keep]
+    versions = np.asarray(arrays["versions"])[keep]
+    extras_host = {n: np.asarray(arrays[f"slot/{n}"])[keep]
+                   for n in extra_names}
 
     if "bloom" in arrays and isinstance(
             cfg.ev_option.filter_option, cfglib.CBFFilter):
         state = state.replace(bloom=jnp.asarray(arrays["bloom"]))
 
+    extras_dev = dict(extra_targets) if extra_targets else {}
     n = ids.shape[0]
     capacity = cfg.capacity
     for start in range(0, n, chunk):
@@ -329,18 +337,28 @@ def import_arrays(
             state.table, jnp.asarray(hi), jnp.asarray(lo),
             jnp.ones(chunk, bool), max_probes=cfg.max_probes)
         widx = _drop_idx(slots, capacity)
-        v = np.zeros((chunk, cfg.dim), np.asarray(vals).dtype)
-        fr = np.zeros((chunk,), np.int32)
-        ver = np.full((chunk,), -1, np.int32)
-        v[: end - start] = vals[start:end]
-        fr[: end - start] = freqs[start:end]
-        ver[: end - start] = versions[start:end]
+
+        def _pad_chunk(a, fill=0):
+            out = np.full((chunk,) + a.shape[1:], fill, a.dtype)
+            out[: end - start] = a[start:end]
+            return out
+
         state = state.replace(
             table=table,
             values=state.values.at[widx].set(
-                jnp.asarray(v).astype(state.values.dtype), mode="drop"),
-            freqs=state.freqs.at[widx].set(jnp.asarray(fr), mode="drop"),
+                jnp.asarray(_pad_chunk(vals)).astype(state.values.dtype),
+                mode="drop"),
+            freqs=state.freqs.at[widx].set(
+                jnp.asarray(_pad_chunk(freqs.astype(np.int32))),
+                mode="drop"),
             versions=state.versions.at[widx].set(
-                jnp.asarray(ver), mode="drop"),
+                jnp.asarray(_pad_chunk(versions.astype(np.int32), -1)),
+                mode="drop"),
         )
+        for name in extra_names:
+            extras_dev[name] = extras_dev[name].at[widx].set(
+                jnp.asarray(_pad_chunk(extras_host[name])).astype(
+                    extras_dev[name].dtype), mode="drop")
+    if extra_targets is not None:
+        return state, extras_dev
     return state

@@ -1,0 +1,301 @@
+"""Checkpointing: full + incremental, with restore-time re-sharding.
+
+Rebuild of the reference's saver stack (SURVEY §2.6/§3.4):
+  * full checkpoints save each EV table as the 4-tensor format
+    (keys/values/freqs/versions — ``docs/Embedding-Variable-Export-
+    Format.md``) plus row-aligned optimizer slot rows (slot-EV sharing,
+    ``python/training/slot_creator.py:86``) and the dense params/opt
+    pytrees;
+  * incremental checkpoints (``python/training/incremental_saver.py``,
+    ``core/kernels/incr_save_restore_ops.h:347`` IndicesIncrRecorder)
+    dump only rows touched since the last save.  Here "touched" falls
+    out of the EV design for free: the per-row ``versions`` array is
+    the recorder, so a delta is ``versions >= since_step``;
+  * restore = latest full + deltas in step order; table rows re-shard
+    by hash when the restoring mesh differs from the saving one
+    (``KvResourceImportV2`` partition filtering).
+
+Files are plain ``.npz`` per table per shard + one for the dense tree —
+host I/O, no device-format lock-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeprec_tpu.embedding import variable as ev
+from deeprec_tpu.feature_column.feature_column import EmbeddingGroup
+from deeprec_tpu.train.loop import TrainState
+from deeprec_tpu.utils import keys as keylib
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template, flat: Dict[str, np.ndarray]):
+    paths_leaves = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_leaves[0]:
+        key = "/".join(str(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing dense leaf {key}")
+        leaves.append(jnp.asarray(flat[key]).astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(paths_leaves[1], leaves)
+
+
+def _row_aligned(slot_tree, capacity: int):
+    """Split a table's optimizer-slot pytree into row-aligned arrays
+    ([C+1, ...]) and scalar/global leaves."""
+    rows, scalars = {}, {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(slot_tree)[0]:
+        key = "/".join(str(p) for p in path)
+        arr = leaf
+        if hasattr(arr, "shape") and arr.ndim >= 1 and \
+                arr.shape[0] == capacity + 1:
+            rows[key] = arr
+        else:
+            scalars[key] = arr
+    return rows, scalars
+
+
+def _export_table(cfg, state: ev.EVState, slot_tree, *,
+                  min_version: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Snapshot live rows (all, or touched since ``min_version``)."""
+    key_hi = np.asarray(state.table.key_hi)
+    key_lo = np.asarray(state.table.key_lo)
+    ids = keylib.join_ids(key_hi, key_lo)
+    live = ~np.isin(ids, (keylib.EMPTY_ID, keylib.TOMB_ID))
+    if min_version is not None:
+        vers = np.asarray(state.versions)[:-1]
+        live &= vers >= min_version
+    idx = np.nonzero(live)[0]
+    out = {
+        "keys": ids[idx],
+        "values": np.asarray(state.values)[idx],
+        "freqs": np.asarray(state.freqs)[idx],
+        "versions": np.asarray(state.versions)[idx],
+    }
+    rows, scalars = _row_aligned(slot_tree, cfg.capacity)
+    for name, arr in rows.items():
+        out[f"slot/{name}"] = np.asarray(arr)[idx]
+    for name, arr in scalars.items():
+        out[f"scalar/{name}"] = np.asarray(arr)
+    if state.bloom.shape[0] > 1:
+        out["bloom"] = np.asarray(state.bloom)
+    return out
+
+
+class CheckpointManager:
+    """Save/restore TrainStates produced by ``train.loop``.
+
+    ``group`` must be the EmbeddingGroup the state was built with (its
+    ``num_shards`` describes the state's shard layout).
+    """
+
+    def __init__(self, directory: str, group: EmbeddingGroup,
+                 keep: int = 3):
+        self.dir = directory
+        self.group = group
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+
+    # -- helpers ---------------------------------------------------------
+    def _table_shards(self, ts: TrainState, tname: str):
+        """Yield (EVState, slot_tree) per shard (host-side)."""
+        S = self.group.num_shards
+        state = jax.device_get(ts.ev[tname])
+        slots = jax.device_get(ts.slots[tname])
+        if S > 1:
+            for s in range(S):
+                yield (jax.tree.map(lambda x: x[s], state),
+                       jax.tree.map(lambda x: x[s], slots))
+        else:
+            yield state, slots
+
+    def _steps(self, kind: str):
+        pat = re.compile(rf"{kind}-(\d+)$")
+        out = []
+        for d in os.listdir(self.dir):
+            m = pat.match(d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    # -- save -------------------------------------------------------------
+    def save(self, ts: TrainState, *, incremental: bool = False,
+             since_step: Optional[int] = None) -> str:
+        """Write a full (default) or incremental checkpoint at the
+        state's current step."""
+        step = int(jax.device_get(ts.step))
+        kind = "incr" if incremental else "full"
+        path = os.path.join(self.dir, f"{kind}-{step}")
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+
+        # Dense params/opt are saved in full every time — they're tiny
+        # next to the tables, and the reference's incremental saver also
+        # rewrites dense variables each delta.
+        dense = {"params": ts.params, "dense_opt": ts.dense_opt}
+        np.savez(os.path.join(tmp, "dense.npz"), **_flatten(dense))
+        min_version = since_step if incremental else None
+        for tname, cfg in self.group.tables.items():
+            for si, (st, sl) in enumerate(self._table_shards(ts, tname)):
+                arrs = _export_table(cfg, st, sl, min_version=min_version)
+                np.savez(os.path.join(tmp, f"table-{tname}-s{si}.npz"),
+                         **arrs)
+        meta = {
+            "step": step,
+            "kind": kind,
+            "since_step": since_step,
+            "num_shards": self.group.num_shards,
+            "tables": sorted(self.group.tables),
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        self._gc()
+        return path
+
+    def _gc(self):
+        fulls = self._steps("full")
+        for old in fulls[:-self.keep]:
+            shutil.rmtree(os.path.join(self.dir, f"full-{old}"),
+                          ignore_errors=True)
+        if fulls:
+            # Deltas older than the oldest kept full are unreplayable.
+            floor = fulls[:-self.keep][-1] if fulls[:-self.keep] else None
+            if floor is not None:
+                for inc in self._steps("incr"):
+                    if inc <= floor:
+                        shutil.rmtree(
+                            os.path.join(self.dir, f"incr-{inc}"),
+                            ignore_errors=True)
+
+    # -- restore ------------------------------------------------------------
+    def latest_step(self) -> Optional[int]:
+        fulls = self._steps("full")
+        return fulls[-1] if fulls else None
+
+    def restore(self, ts_template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        """Restore into (a state shaped like) ``ts_template``: the
+        newest full checkpoint at or before ``step``, plus any newer
+        incremental deltas up to ``step``.  The template's shard count
+        may differ from the checkpoint's — rows re-shard by hash.
+        """
+        fulls = self._steps("full")
+        if step is not None:
+            fulls = [s for s in fulls if s <= step]
+        if not fulls:
+            raise FileNotFoundError(f"no full checkpoint in {self.dir}")
+        base = fulls[-1]
+        # Restore from FRESH tables: the template may hold a newer state
+        # whose extra keys (absent from the checkpoint) must not survive
+        # a rollback.  Slot/metadata rows of unreachable slots are
+        # harmless — re-inserted keys reinitialize via is_new.
+        ts_template = ts_template.replace(ev=self.group.create_state())
+        ts = self._apply(ts_template, f"full-{base}", full=True)
+        incrs = [s for s in self._steps("incr") if s > base
+                 and (step is None or s <= step)]
+        for s in incrs:
+            ts = self._apply(ts, f"incr-{s}", full=False)
+        final_step = incrs[-1] if incrs else base
+        return ts.replace(step=jnp.int32(final_step))
+
+    def _apply(self, ts: TrainState, name: str, *, full: bool) -> TrainState:
+        path = os.path.join(self.dir, name)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if os.path.exists(os.path.join(path, "dense.npz")):
+            dense = dict(np.load(os.path.join(path, "dense.npz"),
+                                 allow_pickle=False))
+            tmpl = {"params": ts.params, "dense_opt": ts.dense_opt}
+            restored = _unflatten_like(tmpl, dense)
+            ts = ts.replace(params=restored["params"],
+                            dense_opt=restored["dense_opt"])
+
+        S_new = self.group.num_shards
+        new_ev = dict(ts.ev)
+        new_slots = dict(ts.slots)
+        for tname, cfg in self.group.tables.items():
+            # Merge all saved shards of this table into one host list.
+            merged: Dict[str, list] = {}
+            scalars: Dict[str, np.ndarray] = {}
+            bloom = None
+            for si in range(meta["num_shards"]):
+                f = os.path.join(path, f"table-{tname}-s{si}.npz")
+                if not os.path.exists(f):
+                    continue
+                arrs = dict(np.load(f, allow_pickle=False))
+                for k, v in arrs.items():
+                    if k.startswith("scalar/"):
+                        scalars[k[len("scalar/"):]] = v
+                    elif k == "bloom":
+                        bloom = v
+                    else:
+                        merged.setdefault(k, []).append(v)
+            if "keys" not in merged:
+                continue
+            cat = {k: np.concatenate(v) for k, v in merged.items()}
+
+            def restore_shard(st, sl, pid, pnum):
+                rows, _ = _row_aligned(sl, cfg.capacity)
+                st2, rows2 = ev.import_arrays(
+                    cfg, st, cat, partition_id=pid, partition_num=pnum,
+                    extra_targets=rows)
+                # Write scalar slot leaves + re-assemble slot pytree.
+                sl2 = _set_leaves(sl, rows2, scalars)
+                if bloom is not None and pnum == meta["num_shards"]:
+                    st2 = st2.replace(bloom=jnp.asarray(bloom))
+                return st2, sl2
+
+            if S_new > 1:
+                host_ev = jax.device_get(new_ev[tname])
+                host_sl = jax.device_get(new_slots[tname])
+                st_shards, sl_shards = [], []
+                for s in range(S_new):
+                    st = jax.tree.map(lambda x: jnp.asarray(x[s]), host_ev)
+                    sl = jax.tree.map(lambda x: jnp.asarray(x[s]), host_sl)
+                    st2, sl2 = restore_shard(st, sl, s, S_new)
+                    st_shards.append(st2)
+                    sl_shards.append(sl2)
+                new_ev[tname] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *st_shards)
+                new_slots[tname] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *sl_shards)
+            else:
+                new_ev[tname], new_slots[tname] = restore_shard(
+                    new_ev[tname], new_slots[tname], 0, 1)
+        return ts.replace(ev=new_ev, slots=new_slots,
+                          step=jnp.int32(meta["step"]))
+
+
+def _set_leaves(tree, rows: Dict[str, Any], scalars: Dict[str, np.ndarray]):
+    """Rebuild a slot pytree from row-aligned updates + scalar values."""
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = []
+    for path, leaf in paths_leaves:
+        key = "/".join(str(p) for p in path)
+        if key in rows:
+            leaves.append(rows[key])
+        elif key in scalars:
+            leaves.append(jnp.asarray(scalars[key]).astype(
+                leaf.dtype if hasattr(leaf, "dtype") else None))
+        else:
+            leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,112 @@
+"""Input pipeline: prefetch staging, WorkQueue (local + TCP), Parquet."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from deeprec_tpu.data.prefetch import staged
+from deeprec_tpu.data.work_queue import (RemoteWorkQueue, WorkQueue,
+                                         WorkQueueServer)
+
+
+def test_prefetch_preserves_items_and_overlaps():
+    produced = []
+
+    def make_iter():
+        for i in range(20):
+            time.sleep(0.005)
+            produced.append(i)
+            yield {"x": np.full((4,), i)}
+
+    it = staged(make_iter, buffer_size=4, device_put=False)
+    got = [int(b["x"][0]) for b in it]
+    assert got == list(range(20))
+
+
+def test_prefetch_transform_applied():
+    it = staged(lambda: iter([{"x": np.ones(2)}] * 3),
+                transform=lambda b: {"x": b["x"] * 5}, device_put=False)
+    for b in it:
+        assert b["x"][0] == 5.0
+
+
+def test_work_queue_epochs_and_state():
+    q = WorkQueue(["a", "b", "c"], num_epochs=2)
+    taken = [q.take() for _ in range(4)]
+    assert taken == ["a", "b", "c", "a"]
+    state = q.state()
+    q2 = WorkQueue.from_state(state, num_epochs=2)
+    assert list(q2) == ["b", "c"]  # resumes remaining work
+    assert q.take() == "b"
+
+
+def test_work_queue_concurrent_consumers():
+    q = WorkQueue([str(i) for i in range(100)])
+    seen = []
+    lock = threading.Lock()
+
+    def consume():
+        for item in q:
+            with lock:
+                seen.append(item)
+
+    threads = [threading.Thread(target=consume) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert sorted(seen, key=int) == [str(i) for i in range(100)]
+    assert len(set(seen)) == 100
+
+
+def test_work_queue_tcp_roundtrip():
+    q = WorkQueue(["f1", "f2", "f3"])
+    server = WorkQueueServer(q, host="127.0.0.1")
+    try:
+        c1 = RemoteWorkQueue("127.0.0.1", server.port)
+        c2 = RemoteWorkQueue("127.0.0.1", server.port)
+        items = [c1.take(), c2.take(), c1.take(), c1.take()]
+        assert items == ["f1", "f2", "f3", None]
+        c1.close()
+        c2.close()
+    finally:
+        server.shutdown()
+
+
+def test_parquet_dataset(tmp_path):
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from deeprec_tpu.data.parquet import Field, ParquetDataset
+    from deeprec_tpu.utils import keys as keylib
+
+    t = pa.table({
+        "label": [1.0, 0.0, 1.0, 0.0],
+        "price": [1.5, 2.5, 3.5, 4.5],
+        "item": [10, 20, 30, 40],
+        "hist": [[1, 2], [3], [], [4, 5, 6, 7]],
+    })
+    p = tmp_path / "d.parquet"
+    pq.write_table(t, p)
+
+    ds = ParquetDataset(str(p), [
+        Field("label", "label"),
+        Field("price", "numeric"),
+        Field("item", "id", key_offset=100),
+        Field("hist", "id_list", max_len=3),
+    ], batch_size=2)
+    batches = list(ds)
+    assert len(batches) == 2
+    b = batches[0]
+    np.testing.assert_allclose(b["price"], [1.5, 2.5])
+    ids = keylib.join_ids(np.asarray(b["item"].hi).reshape(-1),
+                          np.asarray(b["item"].lo).reshape(-1))
+    np.testing.assert_array_equal(ids, [110, 120])
+    hist = keylib.join_ids(np.asarray(b["hist"].hi).reshape(-1),
+                           np.asarray(b["hist"].lo).reshape(-1))
+    assert hist[0] == 1 and hist[1] == 2 and hist[2] == keylib.EMPTY_ID
+    # Truncation to max_len on the last row of batch 2.
+    b2 = batches[1]
+    h2 = keylib.join_ids(np.asarray(b2["hist"].hi).reshape(-1),
+                         np.asarray(b2["hist"].lo).reshape(-1))
+    np.testing.assert_array_equal(h2[3:], [4, 5, 6])
