@@ -65,7 +65,8 @@ def test_model_trains(name):
     losses = []
     # Sequence/multi-task losses are noisier on tiny batches; verified
     # to separate head/tail by step 40 (deterministic seeds).
-    n_steps = 40 if name in ("din", "dien", "bst", "esmm") else 24
+    n_steps = 48 if name in ("din", "dien", "bst", "esmm", "dbmtl",
+                         "mmoe", "simple_multitask") else 24
     for i in range(n_steps):
         ts, m = step(ts, data.next_batch())
         losses.append(float(m["loss"]))
