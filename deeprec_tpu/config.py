@@ -157,6 +157,15 @@ class TableConfig:
     # Maximum probe distance for open addressing. Lookups past this
     # distance fall back to the overflow row (default value, no update).
     max_probes: int = 64
+    # Dynamic-dimension EV (``docs/Dynamic-dimension-Embedding-Variable
+    # .md``, ``get_dynamic_dimension_embedding_variable``): dim is split
+    # into ``block_num`` equal blocks; a key uses
+    # ``1 + #(thresholds <= freq)`` blocks, so cold keys train a short
+    # prefix and hot keys the full vector. ``dim % block_num == 0``;
+    # ``dyn_dim_thresholds`` must have ``block_num - 1`` ascending
+    # frequencies.
+    block_num: int = 1
+    dyn_dim_thresholds: tuple = ()
 
     def __post_init__(self):
         if self.capacity & (self.capacity - 1):
@@ -165,6 +174,15 @@ class TableConfig:
                 "power of two")
         if self.dim <= 0:
             raise ValueError(f"table {self.name}: dim must be positive")
+        if self.block_num > 1:
+            if self.dim % self.block_num:
+                raise ValueError(
+                    f"table {self.name}: dim {self.dim} not divisible by "
+                    f"block_num {self.block_num}")
+            if len(self.dyn_dim_thresholds) != self.block_num - 1:
+                raise ValueError(
+                    f"table {self.name}: need {self.block_num - 1} "
+                    "dyn_dim_thresholds")
 
 
 def steps_to_live_of(cfg: TableConfig) -> int:

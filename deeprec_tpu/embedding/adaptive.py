@@ -1,0 +1,85 @@
+"""Adaptive embedding: hot keys in EV, cold keys in a static bucket table.
+
+Rebuild of ``categorical_column_with_adaptive_embedding`` /
+``adaptive_embedding_lookup_sparse``
+(``python/feature_column/feature_column_v2.py:2058``,
+``python/ops/embedding_ops.py:678-795``, ``docs/Adaptive-Embedding.md``):
+frequent ids get collision-free EV rows, infrequent ids share a
+hash-bucket dense table (memory bound), and when an id becomes hot its
+EV row is seeded from the static row it trained in (value migration) so
+no learning is lost.
+
+Where the reference drives hotness from precomputed
+``adaptive_mask_tensors``, here hotness is the EV's own frequency
+counter crossing ``hot_threshold`` — online, no side input.
+
+The static table is an ordinary dense parameter: pass it through the
+loss so cold-id gradients flow to it via autodiff, while hot-id
+gradients ride the EV unique-rows cotangent as usual.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.embedding import lookup as lkup
+from deeprec_tpu.embedding import variable as ev
+from deeprec_tpu.utils import keys as keylib
+
+
+class AdaptiveLookup(NamedTuple):
+    lk: ev.LookupResult       # EV-side unique lookup (rows = diff input)
+    hot: jax.Array            # [n_unique] bool — uses the EV row
+    newly_hot: jax.Array      # [n_unique] bool — crossed the threshold now
+    bucket: jax.Array         # [n_unique] int32 — static-table row
+    inverse: jax.Array        # [B, L]
+    mask: jax.Array           # [B, L]
+
+
+def lookup_train(cfg: cfglib.TableConfig, state: ev.EVState,
+                 ids_hi, ids_lo, global_step, *,
+                 hot_threshold: int, num_buckets: int,
+                 salt: int = 0) -> tuple[ev.EVState, AdaptiveLookup]:
+    """Training lookup for one padded-dense feature [B, L]."""
+    B, L = ids_hi.shape
+    dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
+    state, lk = ev.lookup_train(cfg, state, dd.uhi, dd.ulo, dd.counts,
+                                global_step, salt=salt)
+    safe = jnp.minimum(lk.slots, cfg.capacity)
+    freq_after = state.freqs[safe]
+    freq_before = freq_after - dd.counts
+    hot = lk.admitted & (freq_after >= hot_threshold)
+    newly_hot = hot & (freq_before < hot_threshold)
+    bucket = (keylib.hash_mix(dd.uhi, dd.ulo, salt=salt + 13)
+              % jnp.uint32(num_buckets)).astype(jnp.int32)
+    mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
+    return state, AdaptiveLookup(
+        lk=lk, hot=hot, newly_hot=newly_hot, bucket=bucket,
+        inverse=dd.inverse.reshape(B, L), mask=mask)
+
+
+def migrate_new_hot(cfg: cfglib.TableConfig, state: ev.EVState,
+                    al: AdaptiveLookup, static_table) -> ev.EVState:
+    """Seed EV rows of ids that just became hot from their static rows
+    (the reference's migration/value-reuse step). Call before the loss
+    so the forward pass already uses the migrated value."""
+    idx = jnp.where(al.newly_hot, al.lk.slots, cfg.capacity + 1)
+    seed = static_table[al.bucket].astype(state.values.dtype)
+    return state.replace(
+        values=state.values.at[idx].set(seed, mode="drop"))
+
+
+def combine(rows, static_table, al: AdaptiveLookup, combiner: str):
+    """[B, dim] bag embeddings. Differentiable in (rows, static_table)."""
+    static_rows = static_table[al.bucket].astype(rows.dtype)
+    merged = jnp.where(al.hot[:, None], rows, static_rows)
+    return lkup.combine_bags(merged, al.inverse, al.mask, combiner)
+
+
+# Note on gradients: ``combine``'s jnp.where routes each id's cotangent
+# to exactly one side — EV rows for hot ids, the static table for cold
+# ids — so no extra gradient masking is needed before the sparse apply.

@@ -198,12 +198,30 @@ def lookup_train(
         values[jnp.minimum(slots, capacity)],
         _default_rows(cfg, state, qhi, qlo),
     )
+    rows = _dyn_dim_mask(cfg, rows, freqs[jnp.minimum(slots, capacity)])
     new_state = EVState(
         table=table, values=values, freqs=freqs, versions=versions,
         default_bank=state.default_bank, bloom=bloom)
     return new_state, LookupResult(
         slots=slots, rows=rows, admitted=admitted, is_new=is_new,
         prev_versions=prev_versions, qhi=qhi, qlo=qlo)
+
+
+def _dyn_dim_mask(cfg: cfglib.TableConfig, rows, freqs_rows):
+    """Dynamic-dimension EV: zero the blocks a key's frequency has not
+    yet unlocked (reference lookup path ``python/ops/embedding_ops.py:175``
+    ``sparse_read(ids, blocknums)``)."""
+    if cfg.block_num <= 1:
+        return rows
+    n = rows.shape[0]
+    block_dim = cfg.dim // cfg.block_num
+    thr = jnp.asarray(cfg.dyn_dim_thresholds, jnp.int32)
+    blocknums = 1 + jnp.sum(
+        freqs_rows[:, None] >= thr[None, :], axis=1)        # [n]
+    block_idx = jnp.arange(cfg.block_num, dtype=jnp.int32)
+    mask = (block_idx[None, :] < blocknums[:, None])        # [n, Bn]
+    mask = jnp.repeat(mask, block_dim, axis=1)              # [n, dim]
+    return rows * mask.astype(rows.dtype)
 
 
 def lookup(cfg: cfglib.TableConfig, state: EVState, qhi, qlo) -> jax.Array:
@@ -218,9 +236,10 @@ def lookup(cfg: cfglib.TableConfig, state: EVState, qhi, qlo) -> jax.Array:
         admitted = in_table & (state.freqs[safe] >= f.filter_freq)
     else:
         admitted = in_table
-    return jnp.where(
+    rows = jnp.where(
         admitted[:, None], state.values[safe],
         _default_rows(cfg, state, qhi, qlo))
+    return _dyn_dim_mask(cfg, rows, state.freqs[safe])
 
 
 def shrink(cfg: cfglib.TableConfig, state: EVState, global_step) -> EVState:
