@@ -65,10 +65,21 @@ def make_train_step(
     dense_tx: optax.GradientTransformation,
     mesh: Optional[jax.sharding.Mesh] = None,
     donate: bool = True,
+    micro_batch_num: int = 1,
 ):
     """Build the jitted train step: (TrainState, batch) -> (TrainState,
     metrics dict). Batch leaves are [B_local*S, ...] global arrays in
-    mesh mode (sharded on dim 0)."""
+    mesh mode (sharded on dim 0).
+
+    ``micro_batch_num > 1`` is the AutoMicroBatch role
+    (``common_runtime/graph_execution_state.cc:628``,
+    ``docs/Auto-Micro-Batch.md``): the batch is processed as N
+    sequential micro-batches with gradient accumulation —
+    convergence-equivalent to the N-times batch at a fraction of the
+    activation memory.  Embedding lookups still happen once for the
+    whole batch (one dedup/exchange), only the dense forward/backward
+    is tiled.
+    """
     axis = group.axis_name
 
     def _step(ts: TrainState, batch):
@@ -76,17 +87,58 @@ def make_train_step(
         states, gl = group.lookup_train(ts.ev, batch, gs)
         rows = {t: lk.rows for t, lk in gl.lks.items()}
 
-        def loss_of(params, rows):
-            embs = group.combine(gl, rows)
-            out = apply_fn(params, embs, batch)
-            per_ex = loss_fn(out, batch)
-            denom = per_ex.shape[0]
+        def loss_of(params, rows, mb_batch, mb_gl):
+            embs = group.combine(mb_gl, rows)
+            out = apply_fn(params, embs, mb_batch)
+            per_ex = loss_fn(out, mb_batch)
+            denom = per_ex.shape[0] * micro_batch_num
             if axis is not None:
                 denom = denom * jax.lax.axis_size(axis)
             return jnp.sum(per_ex) / denom, out
 
-        (loss, out), (gparams, grows) = jax.value_and_grad(
-            loss_of, argnums=(0, 1), has_aux=True)(ts.params, rows)
+        if micro_batch_num == 1:
+            (loss, out), (gparams, grows) = jax.value_and_grad(
+                loss_of, argnums=(0, 1), has_aux=True)(
+                    ts.params, rows, batch, gl)
+        else:
+            # Tile batch leaves and per-column routing into N
+            # micro-batches; accumulate grads with a scan.
+            def tile(x):
+                return x.reshape((micro_batch_num,
+                                  x.shape[0] // micro_batch_num)
+                                 + x.shape[1:])
+
+            mb_batches = jax.tree.map(tile, batch)
+            mb_cols = {
+                name: cl._replace(inverse=tile(cl.inverse),
+                                  mask=tile(cl.mask))
+                for name, cl in gl.columns.items()
+            }
+
+            def body(carry, mb):
+                acc_p, acc_r, acc_l = carry
+                mb_batch, inv_mask = mb
+                cols_i = {
+                    n: gl.columns[n]._replace(inverse=inv_mask[n][0],
+                                              mask=inv_mask[n][1])
+                    for n in gl.columns
+                }
+                gl_i = gl._replace(columns=cols_i)
+                (l, _), (gp, gr) = jax.value_and_grad(
+                    loss_of, argnums=(0, 1), has_aux=True)(
+                        ts.params, rows, mb_batch, gl_i)
+                acc_p = jax.tree.map(jnp.add, acc_p, gp)
+                acc_r = jax.tree.map(jnp.add, acc_r, gr)
+                return (acc_p, acc_r, acc_l + l), None
+
+            inv_masks = {n: (mb_cols[n].inverse, mb_cols[n].mask)
+                         for n in mb_cols}
+            zeros_p = jax.tree.map(jnp.zeros_like, ts.params)
+            zeros_r = jax.tree.map(jnp.zeros_like, rows)
+            (gparams, grows, loss), _ = jax.lax.scan(
+                body, (zeros_p, zeros_r, jnp.float32(0.0)),
+                (mb_batches, inv_masks))
+            out = None
         if axis is not None:
             gparams = jax.lax.psum(gparams, axis)
             loss = jax.lax.psum(loss, axis)

@@ -1,0 +1,101 @@
+"""Estimator driver: hooks, checkpoint cadence, resume, evaluate."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from deeprec_tpu.feature_column.feature_column import (EmbeddingColumn,
+                                                       EmbeddingGroup,
+                                                       NumericColumn,
+                                                       SparseIds)
+from deeprec_tpu.layers.core import MLP, LogitsHead
+from deeprec_tpu.optimizers import sparse as sopt
+from deeprec_tpu.train import losses
+from deeprec_tpu.train.checkpoint import CheckpointManager
+from deeprec_tpu.train.estimator import (CheckpointHook, Estimator, Hook,
+                                         LoggingHook)
+
+
+class TinyModel(nn.Module):
+    @nn.compact
+    def __call__(self, embs, numeric):
+        h = jnp.concatenate([embs["item"], numeric], axis=1)
+        return LogitsHead()(nn.relu(MLP(units=(16,))(h)))
+
+
+def _batches(seed=0):
+    i = 0
+    rng = np.random.default_rng(seed)
+    w = np.random.default_rng(1).normal(size=50)
+    while True:
+        ids = rng.integers(0, 50, size=(16, 2)).astype(np.int64)
+        y = (w[ids].sum(1) > 0).astype(np.float32)
+        yield {"x": jnp.asarray(rng.normal(size=16).astype(np.float32)),
+               "item": SparseIds.from_numpy(ids),
+               "label": jnp.asarray(y)}
+        i += 1
+
+
+def _make(tmp_path):
+    cols = [NumericColumn("x"), EmbeddingColumn("item", dim=4,
+                                                capacity=256)]
+    group = EmbeddingGroup(cols)
+    model = TinyModel()
+    b0 = next(_batches())
+    st0 = group.create_state()
+    _, gl = group.lookup_train(st0, b0, 0)
+    embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+    params = model.init(jax.random.key(0), embs,
+                        group.numeric_features(b0))["params"]
+    afn = lambda p, e, b: model.apply({"params": p}, e,
+                                      group.numeric_features(b))
+    lfn = lambda o, b: losses.bce_with_logits(o, b["label"])
+    return Estimator(group, afn, lfn, sopt.SparseAdagrad(0.2),
+                     optax.adagrad(0.05), params,
+                     model_dir=str(tmp_path / "model"))
+
+
+def test_train_hooks_and_checkpoint_cadence(tmp_path):
+    est = _make(tmp_path)
+    seen = []
+
+    class Recorder(Hook):
+        def after_step(self, est, step, metrics):
+            seen.append(step)
+
+    lines = []
+    hooks = [Recorder(),
+             LoggingHook(every_steps=5, batch_size=16,
+                         log_fn=lines.append),
+             CheckpointHook(est.manager, save_steps=10,
+                            incremental_save_steps=5)]
+    est.train(_batches(), max_steps=20, hooks=hooks)
+    assert seen == list(range(1, 21))
+    assert len(lines) == 4  # steps 5, 10, 15, 20
+    names = sorted(os.listdir(tmp_path / "model"))
+    # fulls @10, @20 (end hook also saves @20), incrementals @5, @15.
+    assert "full-10" in names and "full-20" in names
+    assert "incr-5" in names and "incr-15" in names
+
+
+def test_resume_and_evaluate(tmp_path):
+    est = _make(tmp_path)
+    est.train(_batches(), max_steps=15,
+              hooks=[CheckpointHook(est.manager, save_steps=10,
+                                    incremental_save_steps=3)])
+    ev1 = est.evaluate(_batches(seed=9), steps=4)
+    assert 0.5 < ev1["auc"] <= 1.0
+
+    est2 = _make(tmp_path)
+    resumed = est2.restore_if_available()
+    assert resumed == 15
+    ev2 = est2.evaluate(_batches(seed=9), steps=4)
+    np.testing.assert_allclose(ev1["auc"], ev2["auc"], rtol=1e-6)
+
+    # Continue training from the restored state without error.
+    est2.train(_batches(seed=3), max_steps=18)
+    assert int(est2.ts.step) == 18
