@@ -220,6 +220,13 @@ def num_live(table: HashTable):
     return jnp.sum(live_mask(table).astype(jnp.int32))
 
 
+def live_mask_np(key_hi: np.ndarray, key_lo: np.ndarray) -> np.ndarray:
+    """Host-side live mask over raw key arrays (no device sync)."""
+    sent = key_hi == keylib.EMPTY_HI
+    return ~(sent & ((key_lo == keylib.EMPTY_LO)
+                     | (key_lo == keylib.TOMB_LO)))
+
+
 def compact_np(key_hi: np.ndarray, key_lo: np.ndarray):
     """Host-side rebuild: returns (new_key_hi, new_key_lo, old_to_new)
     where old_to_new[c] is the new slot of old slot c (or capacity).

@@ -1,0 +1,225 @@
+"""Multi-tier storage: demote/promote round trips, watermarks, policies.
+
+Behavior model: the reference's StorageManager tests and
+``BatchEviction`` semantics (``multilevel_embedding.h:421-463``) —
+rows move between tiers without losing value/metadata/optimizer state.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.embedding import hash_table as ht
+from deeprec_tpu.embedding import multi_tier as mt
+from deeprec_tpu.embedding import variable as ev
+from deeprec_tpu.optimizers import sparse as sopt
+from deeprec_tpu.utils import keys as keylib
+
+
+def _cfg(capacity=64, dim=4, **kw):
+    return cfglib.TableConfig(name="t", dim=dim, capacity=capacity,
+                              initializer="zeros", **kw)
+
+
+def _lookup_ids(cfg, state, ids, step):
+    hi, lo = keylib.split_ids(np.asarray(ids, np.int64))
+    n = len(ids)
+    state, lk = ev.lookup_train(cfg, state, jnp.asarray(hi),
+                                jnp.asarray(lo),
+                                jnp.ones(n, jnp.int32), step)
+    return state, lk
+
+
+class TestHostKV:
+    def test_put_get_roundtrip(self):
+        kv = mt.HostKV(4, {"accum": (4,)}, {"accum": np.float32})
+        ids = np.array([10, 20, 30], np.int64)
+        vals = np.arange(12, dtype=np.float32).reshape(3, 4)
+        kv.put_batch(ids, vals, np.array([1, 2, 3]), np.array([5, 6, 7]),
+                     {"accum": vals * 2})
+        hit, v, f, ver, slots = kv.get_batch(np.array([20, 99, 10]))
+        assert hit.tolist() == [True, False, True]
+        np.testing.assert_array_equal(v[0], vals[1])
+        np.testing.assert_array_equal(v[2], vals[0])
+        assert f.tolist() == [2, 0, 1]
+        assert ver.tolist() == [6, -1, 5]
+        np.testing.assert_array_equal(slots["accum"][0], vals[1] * 2)
+
+    def test_overwrite_and_delete(self):
+        kv = mt.HostKV(2, {}, {})
+        kv.put_batch(np.array([7]), np.ones((1, 2), np.float32),
+                     np.array([1]), np.array([1]), {})
+        kv.put_batch(np.array([7]), np.full((1, 2), 9.0, np.float32),
+                     np.array([4]), np.array([2]), {})
+        assert len(kv) == 1
+        _, v, f, _, _ = kv.get_batch(np.array([7]))
+        assert v[0, 0] == 9.0 and f[0] == 4
+        kv.delete_batch(np.array([7]))
+        assert len(kv) == 0
+        assert kv.get_batch(np.array([7]))[0][0] == np.False_
+
+    def test_growth_past_initial_chunk(self):
+        kv = mt.HostKV(1, {}, {})
+        n = mt.HostKV.GROW + 100
+        ids = np.arange(1, n + 1, dtype=np.int64)
+        kv.put_batch(ids, np.arange(n, dtype=np.float32)[:, None],
+                     np.ones(n, np.int32), np.ones(n, np.int32), {})
+        assert len(kv) == n
+        hit, v, _, _, _ = kv.get_batch(ids[[0, n - 1]])
+        assert hit.all() and v[1, 0] == float(n - 1)
+
+
+class TestTieredTable:
+    def _train_some(self, cfg, state, slots, opt, ids, step):
+        state, lk = _lookup_ids(cfg, state, ids, step)
+        g = jnp.ones((len(ids), cfg.dim), jnp.float32)
+        slots, values = opt.apply(cfg, slots, state.values, lk, g, step)
+        return state.replace(values=values), slots
+
+    def test_demote_promote_roundtrip_exact(self):
+        cfg = _cfg(capacity=64)
+        opt = sopt.SparseAdagrad(learning_rate=0.1)
+        state = ev.create(cfg)
+        slots = opt.init(cfg)
+        tiered = mt.TieredTable(cfg, slots, policy="lru",
+                                high_watermark=0.5, low_watermark=0.25)
+        ids_a = list(range(1, 21))
+        state, slots = self._train_some(cfg, state, slots, opt, ids_a, 0)
+        vals_before = {
+            int(k): np.asarray(state.values)[s]
+            for k, s in self._slot_map(cfg, state, ids_a).items()}
+        acc_before = {
+            int(k): np.asarray(slots["accum"])[s]
+            for k, s in self._slot_map(cfg, state, ids_a).items()}
+
+        # Touch newer ids so ids_a become the LRU victims.
+        state, slots = self._train_some(
+            cfg, state, slots, opt, list(range(100, 130)), 1)
+        state, slots = tiered.maybe_demote(state, slots)
+        assert tiered.stats.demoted > 0
+        assert len(tiered.host) == tiered.stats.demoted
+        # Demoted ids are gone from HBM.
+        hi, lo = keylib.split_ids(np.asarray(ids_a, np.int64))
+        found = ht.find(state.table, jnp.asarray(hi), jnp.asarray(lo))
+        demoted_ids = [i for i, s in zip(ids_a, np.asarray(found))
+                       if s == cfg.capacity]
+        assert demoted_ids, "expected some of ids_a demoted"
+
+        # Promote them back; values and optimizer slots are bit-exact.
+        payload = tiered.prepare_promotion(
+            state, np.asarray(demoted_ids, np.int64))
+        assert payload is not None
+        state, slots = tiered.apply_promotion(state, slots, payload)
+        m = self._slot_map(cfg, state, demoted_ids)
+        for k in demoted_ids:
+            s = m[k]
+            assert s < cfg.capacity
+            np.testing.assert_array_equal(
+                np.asarray(state.values)[s], vals_before[k])
+            np.testing.assert_array_equal(
+                np.asarray(slots["accum"])[s], acc_before[k])
+        assert len(tiered.host) == tiered.stats.demoted - len(demoted_ids)
+
+    def _slot_map(self, cfg, state, ids):
+        hi, lo = keylib.split_ids(np.asarray(ids, np.int64))
+        slots = np.asarray(ht.find(state.table, jnp.asarray(hi),
+                                   jnp.asarray(lo)))
+        return {int(i): int(s) for i, s in zip(ids, slots)}
+
+    def test_lfu_policy_evicts_low_freq(self):
+        cfg = _cfg(capacity=32)
+        opt = sopt.SparseSGD()
+        state = ev.create(cfg)
+        slots = opt.init(cfg)
+        tiered = mt.TieredTable(cfg, slots, policy="lfu",
+                                high_watermark=0.5, low_watermark=0.25)
+        # Hot ids: looked up 5 times. Cold ids: once.
+        hot = list(range(1, 9))
+        cold = list(range(100, 112))
+        for step in range(5):
+            state, _ = _lookup_ids(cfg, state, hot, step)
+        state, _ = _lookup_ids(cfg, state, cold, 5)
+        state, slots = tiered.maybe_demote(state, slots)
+        hot_map = self._slot_map(cfg, state, hot)
+        assert all(s < cfg.capacity for s in hot_map.values()), \
+            "hot ids must stay in HBM under LFU"
+        assert len(tiered.host) > 0
+        for k in tiered.host.keys():
+            assert int(k) in set(cold)
+
+    def test_watermarks_respected(self):
+        cfg = _cfg(capacity=64)
+        opt = sopt.SparseSGD()
+        state = ev.create(cfg)
+        slots = opt.init(cfg)
+        tiered = mt.TieredTable(cfg, slots, high_watermark=0.75,
+                                low_watermark=0.5)
+        state, _ = _lookup_ids(cfg, state, list(range(1, 41)), 0)
+        state, slots = tiered.maybe_demote(state, slots)
+        live = int(ht.num_live(state.table))
+        assert live <= int(0.75 * cfg.capacity)
+        assert live >= int(0.5 * cfg.capacity) - 1
+
+        # Under the watermark: no demotion.
+        before = tiered.stats.demoted
+        state, slots = tiered.maybe_demote(state, slots)
+        assert tiered.stats.demoted == before
+
+    def test_promotion_skips_resident_and_unknown(self):
+        cfg = _cfg(capacity=32)
+        opt = sopt.SparseSGD()
+        state = ev.create(cfg)
+        slots = opt.init(cfg)
+        tiered = mt.TieredTable(cfg, slots)
+        state, _ = _lookup_ids(cfg, state, [1, 2, 3], 0)
+        # Nothing spilled yet -> no payload.
+        assert tiered.prepare_promotion(
+            state, np.array([1, 2, 99], np.int64)) is None
+        # Spill id 5 manually, then ask for a mix.
+        tiered.host.put_batch(np.array([5], np.int64),
+                              np.ones((1, cfg.dim), np.float32),
+                              np.array([3]), np.array([0]), {})
+        payload = tiered.prepare_promotion(
+            state, np.array([1, 5, 99], np.int64))
+        assert payload is not None
+        assert payload["ids"].tolist() == [5]
+
+    def test_keep_mask_pins_rows(self):
+        cfg = _cfg(capacity=32)
+        opt = sopt.SparseSGD()
+        state = ev.create(cfg)
+        slots = opt.init(cfg)
+        tiered = mt.TieredTable(cfg, slots, high_watermark=0.5,
+                                low_watermark=0.25)
+        pinned_ids = list(range(1, 9))
+        state, _ = _lookup_ids(cfg, state, pinned_ids, 0)
+        state, _ = _lookup_ids(cfg, state, list(range(50, 62)), 1)
+        pin = np.zeros(cfg.capacity, bool)
+        for s in self._slot_map(cfg, state, pinned_ids).values():
+            pin[s] = True
+        state, slots = tiered.maybe_demote(state, slots, keep_mask=pin)
+        m = self._slot_map(cfg, state, pinned_ids)
+        assert all(s < cfg.capacity for s in m.values())
+
+    def test_spill_checkpoint_roundtrip(self):
+        cfg = _cfg(capacity=32)
+        opt = sopt.SparseAdagrad()
+        state = ev.create(cfg)
+        slots = opt.init(cfg)
+        t1 = mt.TieredTable(cfg, slots)
+        t1.host.put_batch(np.array([11, 12], np.int64),
+                          np.arange(8, dtype=np.float32).reshape(2, 4),
+                          np.array([2, 3]), np.array([7, 8]),
+                          {"accum": np.full((2, 4), 0.5, np.float32)})
+        blob = t1.export_spill()
+        t2 = mt.TieredTable(cfg, slots)
+        t2.import_spill(blob)
+        hit, v, f, ver, sl = t2.host.get_batch(np.array([11, 12], np.int64))
+        assert hit.all()
+        np.testing.assert_array_equal(
+            v, np.arange(8, dtype=np.float32).reshape(2, 4))
+        assert f.tolist() == [2, 3] and ver.tolist() == [7, 8]
+        np.testing.assert_array_equal(sl["accum"],
+                                      np.full((2, 4), 0.5, np.float32))
