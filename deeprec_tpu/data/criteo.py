@@ -114,8 +114,41 @@ def parse_criteo_lines(lines, hash_mod: Optional[int] = None):
 
 
 def criteo_file_batches(path: str, batch_size: int,
-                        hash_mod: Optional[int] = None) -> Iterator[Dict]:
-    """Stream batches from a Kaggle-format TSV file."""
+                        hash_mod: Optional[int] = None,
+                        use_native: bool = True) -> Iterator[Dict]:
+    """Stream batches from a Kaggle-format TSV file.
+
+    With ``use_native`` (and no ``hash_mod``), parsing runs through the
+    C++ fused parser (``native.parse_criteo``, the TransCsv role) —
+    roughly an order of magnitude faster than the Python line loop, so
+    the host keeps up with the device at production batch sizes.
+    """
+    from deeprec_tpu import native
+    if use_native and hash_mod is None and native.have_native():
+        tail = b""
+        with open(path, "rb") as f:
+            while True:
+                chunk = f.read(1 << 22)
+                if not chunk:
+                    break
+                data = tail + chunk
+                off = 0
+                while True:
+                    rows, labels, dense, cats, consumed = \
+                        native.parse_criteo(data[off:], batch_size)
+                    if rows < batch_size:
+                        break
+                    yield _batch_from_np(labels, dense, cats)
+                    off += consumed
+                tail = data[off:]
+        if tail:
+            rows, labels, dense, cats, _ = native.parse_criteo(
+                tail + b"\n" if not tail.endswith(b"\n") else tail,
+                batch_size)
+            if rows:
+                yield _batch_from_np(labels[:rows], dense[:rows],
+                                     cats[:rows])
+        return
     buf = []
     with open(path) as f:
         for line in f:
