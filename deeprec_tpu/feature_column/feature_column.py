@@ -122,7 +122,8 @@ class EmbeddingGroup:
     def __init__(self, columns: Sequence[Any], *,
                  axis_name: Optional[str] = None,
                  num_shards: int = 1,
-                 capacity_factor: float = 2.0):
+                 capacity_factor: float = 2.0,
+                 coalesce: bool = False):
         self.numeric = [c for c in columns
                         if isinstance(c, NumericColumn)]
         self.embedding = [c for c in columns
@@ -132,19 +133,75 @@ class EmbeddingGroup:
         self.capacity_factor = capacity_factor
         self.tables: Dict[str, cfglib.TableConfig] = {}
         self.salts: Dict[str, int] = {}
+        # Logical table -> (physical table, id salt). Identity unless
+        # coalescing merges compatible tables (``coalesced_utils.py``
+        # role): one dedup/probe/apply pipeline per *physical* table per
+        # step instead of one per logical table — on TPU this collapses
+        # dozens of small sorts/scatters into a couple of large ones.
+        self._phys_of: Dict[str, tuple[str, int]] = {}
+        logical: Dict[str, cfglib.TableConfig] = {}
         for c in self.embedding:
             tc = c.table_config()
-            if tc.name in self.tables:
-                if self.tables[tc.name].dim != tc.dim:
+            if tc.name in logical:
+                if logical[tc.name].dim != tc.dim:
                     raise ValueError(
                         f"shared table {tc.name}: dim mismatch")
             else:
-                # Per-shard capacity when sharded.
-                if num_shards > 1:
-                    tc = dataclasses.replace(
-                        tc, capacity=max(8, tc.capacity // num_shards))
-                self.salts[tc.name] = len(self.tables) + 1
-                self.tables[tc.name] = tc
+                logical[tc.name] = tc
+        if coalesce:
+            groups: Dict[tuple, list] = {}
+            for name, tc in logical.items():
+                sig = (tc.dim, tc.initializer, tc.init_scale,
+                       str(tc.dtype), tc.ev_option, tc.max_probes,
+                       tc.block_num, tc.dyn_dim_thresholds)
+                groups.setdefault(sig, []).append((name, tc))
+            for sig, members in groups.items():
+                if len(members) == 1:
+                    name, tc = members[0]
+                    self._phys_of[name] = (name, 0)
+                    self._add_table(tc)
+                    continue
+                total = sum(tc.capacity for _, tc in members)
+                cap = 1
+                while cap < total:
+                    cap <<= 1
+                base = members[0][1]
+                phys_name = "coalesced:" + ",".join(
+                    sorted(n for n, _ in members))
+                phys = dataclasses.replace(base, name=phys_name,
+                                           capacity=cap)
+                for i, (name, _) in enumerate(sorted(members)):
+                    # Salt 0 would alias the first member with raw ids
+                    # restored from non-coalesced checkpoints; any
+                    # fixed distinct non-zero int32 per member works.
+                    self._phys_of[name] = (phys_name,
+                                           (0x5851F42D * (i + 1))
+                                           & 0x7FFFFFFF)
+                self._add_table(phys)
+        else:
+            for name, tc in logical.items():
+                self._phys_of[name] = (name, 0)
+                self._add_table(tc)
+
+    def _add_table(self, tc: cfglib.TableConfig):
+        if self.num_shards > 1:
+            tc = dataclasses.replace(
+                tc, capacity=max(8, tc.capacity // self.num_shards))
+        self.salts[tc.name] = len(self.tables) + 1
+        self.tables[tc.name] = tc
+
+    def physical_table_of(self, column: "EmbeddingColumn") -> str:
+        return self._phys_of[column.table_name][0]
+
+    def transform_ids(self, column: "EmbeddingColumn", ids_hi, ids_lo):
+        """Per-logical-table id salt for coalesced tables: XOR on the lo
+        half of real ids. Sentinels (hi == EMPTY_HI by convention) pass
+        through, and the transform cannot create a sentinel."""
+        salt = self._phys_of[column.table_name][1]
+        if salt == 0:
+            return ids_hi, ids_lo
+        real = ids_hi != keylib.EMPTY_HI
+        return ids_hi, jnp.where(real, ids_lo ^ jnp.int32(salt), ids_lo)
 
     # -- state ----------------------------------------------------------
     def create_state(self) -> Dict[str, ev.EVState]:
@@ -178,10 +235,14 @@ class EmbeddingGroup:
         # concatenated id matrix.
         by_table: Dict[str, list] = {}
         for c in self.embedding:
-            by_table.setdefault(c.table_name, []).append(c)
+            by_table.setdefault(self.physical_table_of(c), []).append(c)
         for tname, tcols in by_table.items():
             cfg = self.tables[tname]
-            sid = [batch[c.name] for c in tcols]
+            sid = []
+            for c in tcols:
+                s = batch[c.name]
+                hi, lo = self.transform_ids(c, s.hi, s.lo)
+                sid.append(SparseIds(hi, lo))
             widths = [s.hi.shape[1] for s in sid]
             ids_hi = jnp.concatenate([s.hi for s in sid], axis=1)
             ids_lo = jnp.concatenate([s.lo for s in sid], axis=1)

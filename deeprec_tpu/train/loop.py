@@ -181,10 +181,14 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
         embs = {}
         by_table = {}
         for c in group.embedding:
-            by_table.setdefault(c.table_name, []).append(c)
+            by_table.setdefault(group.physical_table_of(c), []).append(c)
         for tname, tcols in by_table.items():
             cfg = group.tables[tname]
-            sid = [batch[c.name] for c in tcols]
+            sid = []
+            for c in tcols:
+                s = batch[c.name]
+                t_hi, t_lo = group.transform_ids(c, s.hi, s.lo)
+                sid.append(fclib.SparseIds(t_hi, t_lo))
             widths = [s.hi.shape[1] for s in sid]
             ids_hi = jnp.concatenate([s.hi for s in sid], axis=1)
             ids_lo = jnp.concatenate([s.lo for s in sid], axis=1)

@@ -1,0 +1,153 @@
+"""Table coalescing: merged physical tables must train identically
+(up to init noise) to separate tables, and id salting must keep
+distinct logical tables from aliasing.
+
+Behavior model: ``python/feature_column/coalesced_utils.py``.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from deeprec_tpu import config as cfglib
+from deeprec_tpu.feature_column.feature_column import (EmbeddingColumn,
+                                                       EmbeddingGroup,
+                                                       SparseIds)
+from deeprec_tpu.optimizers import sparse as sopt
+from deeprec_tpu.train import loop as trainlib
+from deeprec_tpu.train import losses
+
+
+def _cols(n=4, dim=4, cap=1 << 8):
+    return [EmbeddingColumn(name=f"c{i}", dim=dim, capacity=cap,
+                            initializer="zeros", combiner="sum")
+            for i in range(n)]
+
+
+def _batch(rng, n_cols, B=16, vocab=50):
+    ids = rng.integers(1, vocab, size=(B, n_cols, 1)).astype(np.int64)
+    batch = {f"c{i}": SparseIds.from_numpy(ids[:, i]) for i in range(n_cols)}
+    batch["label"] = jnp.asarray((ids.sum((1, 2)) % 2).astype(np.float32))
+    return batch
+
+
+def _afn(group):
+    def fn(params, embs, batch):
+        x = jnp.concatenate([embs[k] for k in sorted(embs)], axis=1)
+        return jnp.sum(x * params["w"], axis=1)
+    return fn
+
+
+def test_coalesced_group_merges_compatible_tables():
+    g = EmbeddingGroup(_cols(4), coalesce=True)
+    assert len(g.tables) == 1
+    (name, cfg), = g.tables.items()
+    assert name.startswith("coalesced:")
+    assert cfg.capacity == 1 << 10  # 4 * 256
+    # distinct non-zero salts except possibly one
+    salts = {g._phys_of[f"c{i}"][1] for i in range(4)}
+    assert len(salts) == 4
+
+
+def test_incompatible_tables_stay_separate():
+    cols = _cols(2) + [EmbeddingColumn(name="big", dim=8, capacity=64,
+                                       initializer="zeros")]
+    g = EmbeddingGroup(cols, coalesce=True)
+    assert len(g.tables) == 2
+    assert "big" in g.tables
+
+
+def test_coalesced_training_matches_separate():
+    """Same data, zeros init, SGD: coalesced and separate groups must
+    produce identical losses (the tables are independent either way)."""
+    n = 3
+    rng = np.random.default_rng(0)
+    batches = [_batch(rng, n) for _ in range(6)]
+
+    results = []
+    for coalesce in (False, True):
+        group = EmbeddingGroup(_cols(n), coalesce=coalesce)
+        opt = sopt.SparseSGD(0.5)
+        tx = optax.sgd(0.2)
+        params = {"w": jnp.ones((n * 4,))}
+        ts = trainlib.create_train_state(group, params, tx, opt)
+        step = trainlib.make_train_step(
+            group, _afn(group),
+            lambda out, b: losses.bce_with_logits(out, b["label"]),
+            opt, tx)
+        ls = []
+        for b in batches:
+            ts, m = step(ts, b)
+            ls.append(float(m["loss"]))
+        results.append(ls)
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+
+
+def test_salting_prevents_cross_table_aliasing():
+    """Two logical tables fed the SAME raw ids must not share rows."""
+    cols = _cols(2)
+    group = EmbeddingGroup(cols, coalesce=True)
+    opt = sopt.SparseSGD(1.0)
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.concatenate([jnp.ones((4,)), jnp.zeros((4,))])}
+    ts = trainlib.create_train_state(group, params, tx, opt)
+
+    ids = np.full((4, 1), 7, np.int64)
+    batch = {"c0": SparseIds.from_numpy(ids),
+             "c1": SparseIds.from_numpy(ids),
+             "label": jnp.ones((4,), jnp.float32)}
+    step = trainlib.make_train_step(
+        group, _afn(group),
+        lambda out, b: losses.bce_with_logits(out, b["label"]), opt, tx)
+    ts, _ = step(ts, batch)
+    # Only c0 contributes to the loss (w zeros over c1's slice), so
+    # after one step c0's row moved but c1's row must still be zeros.
+    ev_state = next(iter(ts.ev.values()))
+    eval_step = trainlib.make_eval_step(group, lambda p, e, b: (
+        e["c0"], e["c1"]))
+    e0, e1 = eval_step(ts, batch)
+    assert np.abs(np.asarray(e0)).max() > 0
+    np.testing.assert_array_equal(np.asarray(e1), 0.0)
+
+
+def test_eval_matches_train_view():
+    n = 2
+    rng = np.random.default_rng(1)
+    group = EmbeddingGroup(_cols(n), coalesce=True)
+    opt = sopt.SparseSGD(0.5)
+    tx = optax.sgd(0.2)
+    params = {"w": jnp.ones((n * 4,))}
+    ts = trainlib.create_train_state(group, params, tx, opt)
+    step = trainlib.make_train_step(
+        group, _afn(group),
+        lambda out, b: losses.bce_with_logits(out, b["label"]), opt, tx)
+    b = _batch(rng, n)
+    ts, _ = step(ts, b)
+    out = trainlib.make_eval_step(group, _afn(group))(ts, b)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remote_serving_with_coalesced_tables():
+    from deeprec_tpu.serving.feature_store import (InMemoryFeatureStore,
+                                                   RemoteServingModel,
+                                                   publish_sparse)
+    n = 2
+    rng = np.random.default_rng(2)
+    group = EmbeddingGroup(_cols(n), coalesce=True)
+    opt = sopt.SparseSGD(0.5)
+    tx = optax.sgd(0.2)
+    params = {"w": jnp.ones((n * 4,))}
+    ts = trainlib.create_train_state(group, params, tx, opt)
+    step = trainlib.make_train_step(
+        group, _afn(group),
+        lambda out, b: losses.bce_with_logits(out, b["label"]), opt, tx)
+    b = _batch(rng, n)
+    ts, _ = step(ts, b)
+
+    store = InMemoryFeatureStore()
+    publish_sparse(ts, group, store)
+    remote = RemoteServingModel(group, _afn(group), ts.params, store)
+    got = np.asarray(remote.predict(b))
+    want = np.asarray(trainlib.make_eval_step(group, _afn(group))(ts, b))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
