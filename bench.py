@@ -17,24 +17,31 @@ import time
 import jax
 
 BASELINE_WDL = 22788.93  # DeepRec FP32+BF16, modelzoo/WDL/README.md
-BATCH = 4096
+BATCH = 16384  # saturates the chip; 4096 is dispatch-latency-bound
 WARMUP_STEPS = 100
 MEASURE_STEPS = 10
 
 
 def main():
+    import jax.numpy as jnp
+
     from __graft_entry__ import _build
+    from deeprec_tpu.models import wdl
     from deeprec_tpu.train import loop as trainlib
 
     group, model, data, ts, afn, loss_fn, opt, tx, _ = _build(
         BATCH, capacity=1 << 20, dim=16, hidden=(1024, 512, 256),
         vocab=200_000)
+    # BF16 compute mode — the reference's headline WDL row is FP32+BF16
+    # (fp32 params, bf16 activations; docs/BFloat16.md).
+    model = wdl.WDL(hidden=(1024, 512, 256), dtype=jnp.bfloat16)
+    afn = wdl.apply_fn(model, group)
     step = trainlib.make_train_step(group, afn, loss_fn, opt, tx)
 
     # Pre-generate host batches so the measurement isolates framework +
     # device throughput (the reference harness likewise reads from a
     # pre-staged local dataset).
-    batches = [data.next_batch() for _ in range(16)]
+    batches = [data.next_batch() for _ in range(8)]
 
     for i in range(WARMUP_STEPS):
         ts, m = step(ts, batches[i % len(batches)])
