@@ -40,8 +40,9 @@ def main():
 
     # Pre-generate host batches so the measurement isolates framework +
     # device throughput (the reference harness likewise reads from a
-    # pre-staged local dataset).
-    batches = [data.next_batch() for _ in range(8)]
+    # pre-staged local dataset). pack_batch collapses the per-column
+    # pytree to a few leaves — dispatch cost matters on a 1-core host.
+    batches = [group.pack_batch(data.next_batch()) for _ in range(8)]
 
     for i in range(WARMUP_STEPS):
         ts, m = step(ts, batches[i % len(batches)])

@@ -329,3 +329,81 @@ class TieredTable:
         self.host.put_batch(ids, np.asarray(arrays["values"]),
                             np.asarray(arrays["freqs"]),
                             np.asarray(arrays["versions"]), slots)
+
+
+class TieredGroup:
+    """Wire multi-tier storage into the training loop for every table
+    whose ``StorageOption.storage_type`` is ``HBM_HOST``.
+
+    Wraps the train step: before each step it promotes the incoming
+    batch's spill-tier rows into HBM, after each step (every
+    ``demote_every`` steps) it demotes past-watermark cold rows.  The
+    promotion scan runs on the calling (input-pipeline) thread, so with
+    a staged iterator it overlaps the previous device step.
+
+        tiered = TieredGroup(group, ts.slots)
+        for batch in data:
+            ts = tiered.pre_step(ts, batch)
+            ts, metrics = step(ts, batch)
+            ts = tiered.post_step(ts)
+    """
+
+    def __init__(self, group, slot_states, policy: str = "lru",
+                 high_watermark: float = 0.85, low_watermark: float = 0.70,
+                 demote_every: int = 16):
+        from deeprec_tpu import config as _cfg
+        self.group = group
+        self.demote_every = demote_every
+        self._n_steps = 0
+        if group.num_shards > 1:
+            raise NotImplementedError(
+                "TieredGroup currently supports single-shard groups; "
+                "sharded multi-tier runs one TieredGroup per host shard")
+        self.tiered: Dict[str, TieredTable] = {}
+        for tname, cfg in group.tables.items():
+            st = cfg.ev_option.storage_option
+            if st.storage_type == _cfg.StorageType.HBM_HOST:
+                self.tiered[tname] = TieredTable(
+                    cfg, slot_states[tname], policy=policy,
+                    high_watermark=high_watermark,
+                    low_watermark=low_watermark)
+
+    def _batch_ids_for(self, tname: str, batch) -> np.ndarray:
+        from deeprec_tpu.utils import keys as _k
+        ids = []
+        for c in self.group.embedding:
+            if self.group.physical_table_of(c) != tname:
+                continue
+            s = batch[c.name]
+            hi, lo = self.group.transform_ids(c, s.hi, s.lo)
+            ids.append(_k.join_ids(np.asarray(hi).reshape(-1),
+                                   np.asarray(lo).reshape(-1)))
+        return (np.concatenate(ids) if ids
+                else np.zeros((0,), np.int64))
+
+    def pre_step(self, ts, batch):
+        """Promote spill-tier rows the incoming batch will touch."""
+        for tname, tiered in self.tiered.items():
+            payload = tiered.prepare_promotion(
+                ts.ev[tname], self._batch_ids_for(tname, batch))
+            if payload is not None:
+                state, slots = tiered.apply_promotion(
+                    ts.ev[tname], dict(ts.slots[tname]), payload)
+                ts = ts.replace(ev={**ts.ev, tname: state},
+                                slots={**ts.slots, tname: slots})
+        return ts
+
+    def post_step(self, ts):
+        """Demote cold rows past the watermark (every demote_every)."""
+        self._n_steps += 1
+        if self._n_steps % self.demote_every:
+            return ts
+        for tname, tiered in self.tiered.items():
+            state, slots = tiered.maybe_demote(
+                ts.ev[tname], dict(ts.slots[tname]))
+            ts = ts.replace(ev={**ts.ev, tname: state},
+                            slots={**ts.slots, tname: slots})
+        return ts
+
+    def stats(self) -> Dict[str, TierStats]:
+        return {n: t.stats for n, t in self.tiered.items()}

@@ -133,6 +133,7 @@ class EmbeddingGroup:
         self.capacity_factor = capacity_factor
         self.tables: Dict[str, cfglib.TableConfig] = {}
         self.salts: Dict[str, int] = {}
+        self._pack_widths = None
         # Logical table -> (physical table, id salt). Identity unless
         # coalescing merges compatible tables (``coalesced_utils.py``
         # role): one dedup/probe/apply pipeline per *physical* table per
@@ -193,6 +194,57 @@ class EmbeddingGroup:
     def physical_table_of(self, column: "EmbeddingColumn") -> str:
         return self._phys_of[column.table_name][0]
 
+    # -- packed batches ---------------------------------------------------
+    # A training batch normally carries one SparseIds per column (100+
+    # array leaves for Criteo-sized models). On a slow host every leaf
+    # costs dispatch time per step, so ``pack_batch`` pre-concatenates
+    # each physical table's (already salted) ids into one [B, sum(L)]
+    # pair — the same concatenation lookup_train would do on device —
+    # shrinking the pytree to a handful of leaves. Column widths are
+    # recorded on the group (static per run) so lookups can slice the
+    # routing back out per column.
+    PACKED_PREFIX = "__packed__"
+
+    def pack_batch(self, batch):
+        packed: Dict[str, Any] = {}
+        by_table: Dict[str, list] = {}
+        for c in self.embedding:
+            by_table.setdefault(self.physical_table_of(c), []).append(c)
+        widths: Dict[str, list] = {}
+        for tname, tcols in by_table.items():
+            his, los, ws = [], [], []
+            for c in tcols:
+                s = batch[c.name]
+                hi, lo = self.transform_ids(c, s.hi, s.lo)
+                his.append(hi)
+                los.append(lo)
+                ws.append(int(s.hi.shape[1]))
+            packed[self.PACKED_PREFIX + tname] = SparseIds(
+                jnp.concatenate(his, axis=1), jnp.concatenate(los, axis=1))
+            widths[tname] = ws
+        if getattr(self, "_pack_widths", None) is None:
+            self._pack_widths = widths
+        for k, v in batch.items():
+            if not isinstance(v, SparseIds):
+                packed[k] = v
+        return packed
+
+    def _packed_view(self, batch, tname, tcols):
+        """(ids_hi, ids_lo, widths) for one physical table from either a
+        packed or a per-column batch."""
+        key = self.PACKED_PREFIX + tname
+        if key in batch:
+            s = batch[key]
+            return s.hi, s.lo, self._pack_widths[tname]
+        sid = []
+        for c in tcols:
+            s = batch[c.name]
+            hi, lo = self.transform_ids(c, s.hi, s.lo)
+            sid.append(SparseIds(hi, lo))
+        widths = [s.hi.shape[1] for s in sid]
+        return (jnp.concatenate([s.hi for s in sid], axis=1),
+                jnp.concatenate([s.lo for s in sid], axis=1), widths)
+
     def transform_ids(self, column: "EmbeddingColumn", ids_hi, ids_lo):
         """Per-logical-table id salt for coalesced tables: XOR on the lo
         half of real ids. Sentinels (hi == EMPTY_HI by convention) pass
@@ -238,14 +290,7 @@ class EmbeddingGroup:
             by_table.setdefault(self.physical_table_of(c), []).append(c)
         for tname, tcols in by_table.items():
             cfg = self.tables[tname]
-            sid = []
-            for c in tcols:
-                s = batch[c.name]
-                hi, lo = self.transform_ids(c, s.hi, s.lo)
-                sid.append(SparseIds(hi, lo))
-            widths = [s.hi.shape[1] for s in sid]
-            ids_hi = jnp.concatenate([s.hi for s in sid], axis=1)
-            ids_lo = jnp.concatenate([s.lo for s in sid], axis=1)
+            ids_hi, ids_lo, widths = self._packed_view(batch, tname, tcols)
             if self.axis_name is not None:
                 local = sharded.local_of(new_states[tname])
                 local, sbl = sharded.bag_lookup_train(

@@ -92,6 +92,16 @@ class ServingModel:
             ts = self._ts
         return self._eval(ts, batch)
 
+    def warmup(self, batches) -> float:
+        """Compile-and-prime with representative request batches before
+        taking traffic (the processor's warmup-file role,
+        ``docs/Processor.md``). Returns seconds spent."""
+        t0 = time.perf_counter()
+        for b in batches:
+            out = self.predict(b)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
 
 class ModelWatcher:
     """Poll the checkpoint dir; apply full updates on new full ckpts and

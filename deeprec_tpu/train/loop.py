@@ -184,14 +184,8 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
             by_table.setdefault(group.physical_table_of(c), []).append(c)
         for tname, tcols in by_table.items():
             cfg = group.tables[tname]
-            sid = []
-            for c in tcols:
-                s = batch[c.name]
-                t_hi, t_lo = group.transform_ids(c, s.hi, s.lo)
-                sid.append(fclib.SparseIds(t_hi, t_lo))
-            widths = [s.hi.shape[1] for s in sid]
-            ids_hi = jnp.concatenate([s.hi for s in sid], axis=1)
-            ids_lo = jnp.concatenate([s.lo for s in sid], axis=1)
+            ids_hi, ids_lo, widths = group._packed_view(batch, tname,
+                                                        tcols)
             import deeprec_tpu.utils.keys as keylib
             mask = ~((ids_hi == keylib.EMPTY_HI)
                      & (ids_lo == keylib.EMPTY_LO))

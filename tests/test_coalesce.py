@@ -151,3 +151,38 @@ def test_remote_serving_with_coalesced_tables():
     got = np.asarray(remote.predict(b))
     want = np.asarray(trainlib.make_eval_step(group, _afn(group))(ts, b))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_packed_batch_matches_unpacked():
+    """pack_batch shrinks the pytree; training must be identical."""
+    n = 3
+    rng = np.random.default_rng(4)
+    batches = [_batch(rng, n) for _ in range(4)]
+    results = []
+    for packed in (False, True):
+        group = EmbeddingGroup(_cols(n), coalesce=True)
+        opt = sopt.SparseSGD(0.5)
+        tx = optax.sgd(0.2)
+        ts = trainlib.create_train_state(
+            group, {"w": jnp.ones((n * 4,))}, tx, opt)
+        step = trainlib.make_train_step(
+            group, _afn(group),
+            lambda out, b: losses.bce_with_logits(out, b["label"]),
+            opt, tx, donate=False)
+        ls = []
+        for b in batches:
+            bb = group.pack_batch(b) if packed else b
+            ts, m = step(ts, bb)
+            ls.append(float(m["loss"]))
+        results.append(ls)
+        if packed:
+            # packed batch has far fewer leaves
+            n_leaves_packed = len(jax.tree.leaves(group.pack_batch(
+                batches[0])))
+            n_leaves_plain = len(jax.tree.leaves(batches[0]))
+            assert n_leaves_packed < n_leaves_plain
+            # eval accepts packed batches too
+            out = trainlib.make_eval_step(group, _afn(group))(
+                ts, group.pack_batch(batches[0]))
+            assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)

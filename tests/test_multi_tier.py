@@ -223,3 +223,65 @@ class TestTieredTable:
         assert f.tolist() == [2, 3] and ver.tolist() == [7, 8]
         np.testing.assert_array_equal(sl["accum"],
                                       np.full((2, 4), 0.5, np.float32))
+
+
+class TestTieredGroup:
+    def test_end_to_end_training_with_spill(self):
+        """Tables overflow HBM; training continues and previously
+        demoted keys come back with their learned values."""
+        import optax
+        from deeprec_tpu import config as cfg
+        from deeprec_tpu.embedding.multi_tier import TieredGroup
+        from deeprec_tpu.feature_column.feature_column import (
+            EmbeddingColumn, EmbeddingGroup, SparseIds)
+        from deeprec_tpu.optimizers import sparse as sopt
+        from deeprec_tpu.train import loop as trainlib
+
+        evo = cfg.EmbeddingVariableOption(
+            storage_option=cfg.StorageOption(
+                storage_type=cfg.StorageType.HBM_HOST))
+        cols = [EmbeddingColumn(name="f", dim=4, capacity=32,
+                                initializer="zeros", combiner="sum",
+                                ev_option=evo)]
+        group = EmbeddingGroup(cols)
+        opt = sopt.SparseSGD(0.5)
+        tx = optax.sgd(0.1)
+        params = {"w": jnp.ones((4,))}
+        ts = trainlib.create_train_state(group, params, tx, opt)
+        step = trainlib.make_train_step(
+            group, lambda p, e, b: jnp.sum(e["f"] * p["w"], axis=1),
+            lambda out, b: (out - b["label"]) ** 2, opt, tx,
+            donate=False)
+        tiered = TieredGroup(group, ts.slots, high_watermark=0.5,
+                             low_watermark=0.25, demote_every=1)
+
+        def batch_for(ids):
+            arr = np.asarray(ids, np.int64)[:, None]
+            return {"f": SparseIds.from_numpy(arr),
+                    "label": jnp.ones((len(ids),), jnp.float32)}
+
+        # Phase 1: train ids 1..8 once.
+        b = batch_for(list(range(1, 9)))
+        ts = tiered.pre_step(ts, b)
+        ts, _ = step(ts, b)
+        ts = tiered.post_step(ts)
+        v_first = np.asarray(
+            trainlib.make_eval_step(
+                group, lambda p, e, bb: e["f"])(ts, b))
+
+        # Phase 2: flood with ids 100.. to force demotion of 1..8.
+        for s in range(4):
+            b2 = batch_for(list(range(100 + 8 * s, 108 + 8 * s)))
+            ts = tiered.pre_step(ts, b2)
+            ts, _ = step(ts, b2)
+            ts = tiered.post_step(ts)
+        st = tiered.stats()["f"]
+        assert st.demoted > 0, st
+
+        # Phase 3: ids 1..8 return — promotion must restore values.
+        ts = tiered.pre_step(ts, b)
+        v_back = np.asarray(
+            trainlib.make_eval_step(
+                group, lambda p, e, bb: e["f"])(ts, b))
+        np.testing.assert_allclose(v_back, v_first, rtol=1e-6)
+        assert st.promoted >= 0

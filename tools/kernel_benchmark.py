@@ -1,0 +1,112 @@
+"""Microbenchmarks: Pallas fused sparse-apply vs the XLA lowering, and
+the embedding lookup/probe path — the reference's op-level speedup
+table (``docs/Operator-Optimization.md:20-30``) role.
+
+Usage: python tools/kernel_benchmark.py [n_rows ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=50, warm=5):
+    for _ in range(warm):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_sparse_apply(C=1 << 17, D=128, n=65536):
+    from deeprec_tpu.ops.pallas import sparse_apply as sa
+
+    rng = np.random.default_rng(0)
+    values = jnp.asarray(rng.normal(size=(C + 1, D)), jnp.float32)
+    accum = jnp.asarray(rng.uniform(0.1, 1.0, size=(C + 1, D)),
+                        jnp.float32)
+    slots = jnp.asarray(rng.choice(C, size=n, replace=False), jnp.int32)
+    grads = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
+
+    ref = jax.jit(sa.adagrad_apply_rows_reference)
+    t_ref = timeit(ref, values, accum, slots, grads, 0.1)
+    t_pal = timeit(sa.adagrad_apply_rows, values, accum, slots, grads,
+                   0.1)
+    # Correctness cross-check on device.
+    v1, a1 = sa.adagrad_apply_rows(values, accum, slots, grads, 0.1)
+    v2, a2 = ref(values, accum, slots, grads, 0.1)
+    ok = bool(jnp.allclose(v1, v2, rtol=1e-5, atol=1e-6)
+              & jnp.allclose(a1, a2, rtol=1e-5, atol=1e-6))
+    print(json.dumps({
+        "metric": "sparse_adagrad_apply", "rows": n, "dim": D,
+        "xla_us": round(t_ref * 1e6, 1),
+        "pallas_us": round(t_pal * 1e6, 1),
+        "speedup": round(t_ref / t_pal, 3), "match": ok,
+    }), flush=True)
+
+
+def bench_lookup(C=1 << 20, n=1 << 17, max_probes=64):
+    from deeprec_tpu import config as cfg
+    from deeprec_tpu.embedding import hash_table as ht
+    from deeprec_tpu.embedding import variable as ev
+    from deeprec_tpu.utils import keys as keylib
+
+    tc = cfg.TableConfig(name="b", dim=16, capacity=C,
+                         max_probes=max_probes)
+    state = ev.create(tc)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, C // 2, size=n).astype(np.int64)
+    hi, lo = keylib.split_ids(ids)
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+
+    ins = jax.jit(lambda s, h, l: ht.find_or_insert(
+        s, h, l, jnp.ones(n, bool), max_probes=max_probes)[0])
+    state = state.replace(table=ins(state.table, hi, lo))
+
+    find = jax.jit(lambda t, h, l: ht.find(t, h, l,
+                                           max_probes=max_probes))
+    t_find = timeit(find, state.table, hi, lo)
+    gather = jax.jit(lambda v, s: v[jnp.minimum(s, C)])
+    slots = find(state.table, hi, lo)
+    t_gather = timeit(gather, state.values, slots)
+    print(json.dumps({
+        "metric": "hash_find+gather", "ids": n, "capacity": C,
+        "max_probes": max_probes,
+        "find_us": round(t_find * 1e6, 1),
+        "gather_us": round(t_gather * 1e6, 1),
+    }), flush=True)
+
+
+def main():
+    # Each bench in its own process: leftover multi-GB table buffers
+    # push the device into host-spill mode and poison later timings.
+    if len(sys.argv) > 1:
+        which = sys.argv[1]
+        if which == "apply":
+            bench_sparse_apply(n=int(sys.argv[2]))
+        elif which == "lookup":
+            bench_lookup(max_probes=int(sys.argv[2]))
+        return
+    import subprocess
+    jobs = [("apply", "65536"), ("lookup", "64"), ("lookup", "16")]
+    for job in jobs:
+        r = subprocess.run([sys.executable, sys.argv[0], *job],
+                           capture_output=True, text=True, timeout=900)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -123,13 +123,33 @@ def bench_model(name: str, batch: int = 16384) -> dict:
 
 def main():
     names = sys.argv[1:] or sorted(ZOO)
-    for name in names:
-        try:
-            print(json.dumps(bench_model(name)), flush=True)
-        except Exception as e:  # noqa: BLE001 — report and continue
-            print(json.dumps({"metric": f"{name}_samples_per_sec",
-                              "error": f"{type(e).__name__}: {e}"}),
-                  flush=True)
+    if len(names) > 1:
+        # One subprocess per model: each model's tables are several GB
+        # of HBM, and leaked executable/buffer references across models
+        # push the device into host-spill mode (~1.5 s/step for
+        # everything after the second model). A fresh process per
+        # model guarantees a clean device.
+        import subprocess
+        for name in names:
+            r = subprocess.run([sys.executable, sys.argv[0], name],
+                               capture_output=True, text=True,
+                               timeout=1200)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                print(json.dumps({
+                    "metric": f"{name}_samples_per_sec",
+                    "error": (r.stderr.strip() or "nonzero exit")[-300:],
+                }), flush=True)
+        return
+    name = names[0]
+    try:
+        print(json.dumps(bench_model(name)), flush=True)
+    except Exception as e:  # noqa: BLE001 — report and continue
+        print(json.dumps({"metric": f"{name}_samples_per_sec",
+                          "error": f"{type(e).__name__}: {e}"}),
+              flush=True)
 
 
 if __name__ == "__main__":
