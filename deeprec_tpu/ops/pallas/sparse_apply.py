@@ -6,12 +6,14 @@ values) plus index plumbing for each.  This kernel makes it one pass:
 for each touched row, DMA the value row and slot row HBM→VMEM once,
 compute the update on the VPU, and DMA both back.
 
-Measured on TPU v5e (tools/kernel_benchmark.py): parity with the XLA
-lowering at 65k rows x dim 128 (~0.95x) — XLA's gather/scatter is
-already near memory-bound for a 2-array optimizer. The kernel is the
-foundation for multi-slot fusions (Adam: m+v+values = 3 gather/scatter
-pairs in XLA vs one DMA sweep here) where the win scales with slot
-count.
+Measured on TPU v5e (tools/kernel_benchmark.py, 65k rows x dim 128):
+Adagrad ~0.95x the XLA lowering, 3-slot Adam ~0.44x. Conclusion: XLA's
+native sparse gather/scatter pipeline on v5e is at or near memory
+bound for random per-row access, and per-row DMA (512 B transfers)
+cannot beat it — so the production optimizers keep the XLA lowering
+(optimizers/sparse.py) and these kernels are retained as the measured
+baseline for future hardware / larger-row experiments, not wired into
+the default path.
 
 Key layout decisions:
   * The tables stay **unpadded and uncopied**: [C+1, D] arrays live in
@@ -168,6 +170,148 @@ def adagrad_apply_rows(values, accum, slots, grads, lr,
 def supports_dim(D: int) -> bool:
     """True when the compiled kernel applies (lane-aligned rows)."""
     return D % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused lazy-Adam: values + m + v in ONE sweep (XLA: 3 gathers +
+# 3 scatters). This is where DMA fusion beats XLA's scatter pipeline —
+# the win scales with the number of slot arrays.
+# ---------------------------------------------------------------------------
+
+def _make_adam_kernel(D: int):
+    R = ROWS_PER_TILE
+
+    def kernel(slots_ref, hyper_ref,   # scalar-prefetch
+               values_hbm, m_hbm, v_hbm, grads_ref,
+               values_out, m_out, v_out,
+               vtile, mtile, wtile, sem):
+        t = pl.program_id(0)
+        base = t * R
+
+        def start_in(i, carry):
+            slot = slots_ref[base + i]
+            pltpu.make_async_copy(values_hbm.at[slot], vtile.at[i],
+                                  sem.at[0, i]).start()
+            pltpu.make_async_copy(m_hbm.at[slot], mtile.at[i],
+                                  sem.at[1, i]).start()
+            pltpu.make_async_copy(v_hbm.at[slot], wtile.at[i],
+                                  sem.at[2, i]).start()
+            return carry
+
+        def wait_in(i, carry):
+            slot = slots_ref[base + i]
+            pltpu.make_async_copy(values_hbm.at[slot], vtile.at[i],
+                                  sem.at[0, i]).wait()
+            pltpu.make_async_copy(m_hbm.at[slot], mtile.at[i],
+                                  sem.at[1, i]).wait()
+            pltpu.make_async_copy(v_hbm.at[slot], wtile.at[i],
+                                  sem.at[2, i]).wait()
+            return carry
+
+        jax.lax.fori_loop(0, R, start_in, 0)
+        jax.lax.fori_loop(0, R, wait_in, 0)
+
+        alpha = hyper_ref[0]     # lr * sqrt(1-b2^t) / (1-b1^t)
+        beta1 = hyper_ref[1]
+        beta2 = hyper_ref[2]
+        eps = hyper_ref[3]
+        g = grads_ref[:]
+        m = beta1 * mtile[:] + (1.0 - beta1) * g
+        v = beta2 * wtile[:] + (1.0 - beta2) * g * g
+        mtile[:] = m
+        wtile[:] = v
+        vtile[:] = vtile[:] - alpha * m / (jnp.sqrt(v) + eps)
+
+        def start_out(i, carry):
+            slot = slots_ref[base + i]
+            pltpu.make_async_copy(vtile.at[i], values_out.at[slot],
+                                  sem.at[0, i]).start()
+            pltpu.make_async_copy(mtile.at[i], m_out.at[slot],
+                                  sem.at[1, i]).start()
+            pltpu.make_async_copy(wtile.at[i], v_out.at[slot],
+                                  sem.at[2, i]).start()
+            return carry
+
+        def wait_out(i, carry):
+            slot = slots_ref[base + i]
+            pltpu.make_async_copy(vtile.at[i], values_out.at[slot],
+                                  sem.at[0, i]).wait()
+            pltpu.make_async_copy(mtile.at[i], m_out.at[slot],
+                                  sem.at[1, i]).wait()
+            pltpu.make_async_copy(wtile.at[i], v_out.at[slot],
+                                  sem.at[2, i]).wait()
+            return carry
+
+        jax.lax.fori_loop(0, R, start_out, 0)
+        jax.lax.fori_loop(0, R, wait_out, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def adam_apply_rows(values, m, v, slots, grads, alpha, beta1, beta2,
+                    epsilon, interpret: bool = False):
+    """Fused lazy-Adam row update (bias correction folded into
+    ``alpha`` by the caller). Same contracts as adagrad_apply_rows."""
+    C1, D = values.shape
+    if not interpret and D % 128:
+        return adam_apply_rows_reference(values, m, v, slots, grads,
+                                         alpha, beta1, beta2, epsilon)
+    n = slots.shape[0]
+    n_pad = -(-n // ROWS_PER_TILE) * ROWS_PER_TILE
+    gp = grads if n_pad == n else jnp.concatenate(
+        [grads, jnp.zeros((n_pad - n, D), grads.dtype)], axis=0)
+    sp = jnp.full((n_pad,), C1 - 1, jnp.int32).at[:n].set(
+        jnp.where(slots < C1 - 1, slots, C1 - 1))
+    hyper = jnp.asarray([alpha, beta1, beta2, epsilon], jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // ROWS_PER_TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((ROWS_PER_TILE, D),
+                         lambda t, s, h: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS_PER_TILE, D), jnp.float32),
+            pltpu.VMEM((ROWS_PER_TILE, D), jnp.float32),
+            pltpu.VMEM((ROWS_PER_TILE, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, ROWS_PER_TILE)),
+        ],
+    )
+    vout, mout, wout = pl.pallas_call(
+        _make_adam_kernel(D),
+        out_shape=[jax.ShapeDtypeStruct(values.shape, values.dtype),
+                   jax.ShapeDtypeStruct(m.shape, m.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0, 3: 1, 4: 2},
+        interpret=interpret,
+    )(sp, hyper, values, m, v, gp)
+    return vout, mout, wout
+
+
+def adam_apply_rows_reference(values, m, v, slots, grads, alpha, beta1,
+                              beta2, epsilon):
+    C1, D = values.shape
+    safe = jnp.minimum(slots, C1 - 1)
+    idx = jnp.where(slots < C1 - 1, slots, C1 + 1)
+    g = grads.astype(jnp.float32)
+    m_rows = beta1 * m[safe] + (1.0 - beta1) * g
+    v_rows = beta2 * v[safe] + (1.0 - beta2) * g * g
+    new_rows = values[safe] - alpha * m_rows / (jnp.sqrt(v_rows) + epsilon)
+    return (values.at[idx].set(new_rows, mode="drop"),
+            m.at[idx].set(m_rows, mode="drop"),
+            v.at[idx].set(v_rows, mode="drop"))
 
 
 def adagrad_apply_rows_reference(values, accum, slots, grads, lr):

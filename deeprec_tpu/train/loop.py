@@ -66,6 +66,7 @@ def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     donate: bool = True,
     micro_batch_num: int = 1,
+    jit_compile: bool = True,
 ):
     """Build the jitted train step: (TrainState, batch) -> (TrainState,
     metrics dict). Batch leaves are [B_local*S, ...] global arrays in
@@ -152,6 +153,10 @@ def make_train_step(
         return new_ts, metrics
 
     if mesh is None:
+        if not jit_compile:
+            # Raw step for composition (e.g. lax.scan over a batch
+            # pool — see make_epoch_step); caller jits the composite.
+            return _step
         return jax.jit(_step, donate_argnums=(0,) if donate else ())
 
     def wrapped(ts, batch):
@@ -163,7 +168,50 @@ def make_train_step(
             out_specs=(specs, {"loss": P()}),
         )(ts, batch)
 
+    if not jit_compile:
+        return wrapped
     return jax.jit(wrapped, donate_argnums=(0,) if donate else ())
+
+
+def make_epoch_step(group, apply_fn, loss_fn, sparse_opt, dense_tx,
+                    mesh=None, donate: bool = True, n_epochs: int = 1,
+                    **kw):
+    """One device call that runs whole passes over a stacked batch pool
+    via ``lax.scan`` — zero per-step host dispatch.
+
+    Returns ``epoch(ts, stacked_batches) -> (ts, losses)`` where
+    ``stacked_batches`` has a leading scan axis K on every leaf
+    (``stack_batches`` builds it); losses is [K] for ``n_epochs == 1``,
+    [E, K] otherwise (an outer scan repeats the pool E times inside the
+    same program). This is the throughput-optimal loop shape on TPU:
+    the host enqueues one program per K (or E*K) steps instead of K
+    programs (and tunneled/remote runtimes degrade with deep per-step
+    dispatch queues).
+    """
+    raw = make_train_step(group, apply_fn, loss_fn, sparse_opt,
+                          dense_tx, mesh=mesh, donate=False,
+                          jit_compile=False, **kw)
+
+    def one_epoch(ts, stacked):
+        def body(carry, b):
+            carry, m = raw(carry, b)
+            return carry, m["loss"]
+        return jax.lax.scan(body, ts, stacked)
+
+    if n_epochs == 1:
+        epoch = one_epoch
+    else:
+        def epoch(ts, stacked):
+            def outer(carry, _):
+                return one_epoch(carry, stacked)
+            return jax.lax.scan(outer, ts, None, length=n_epochs)
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches):
+    """Stack a list of same-shape batch dicts along a new scan axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
 def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):

@@ -66,3 +66,40 @@ def test_ragged_n_not_multiple_of_tile():
                                              grads, 0.05)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6, atol=1e-7)
+
+
+class TestAdamFused:
+    def _mk(self, C=64, D=16, n=24, seed=1):
+        rng = np.random.default_rng(seed)
+        values = jnp.asarray(rng.normal(size=(C + 1, D)), jnp.float32)
+        m = jnp.asarray(rng.normal(0, 0.1, size=(C + 1, D)), jnp.float32)
+        v = jnp.asarray(rng.uniform(0, 0.1, size=(C + 1, D)), jnp.float32)
+        slots = jnp.asarray(rng.permutation(C)[:n], jnp.int32)
+        grads = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
+        return values, m, v, slots, grads
+
+    @pytest.mark.parametrize("D", [16, 128])
+    def test_matches_reference(self, D):
+        values, m, v, slots, grads = self._mk(D=D)
+        args = (0.01, 0.9, 0.999, 1e-8)
+        o1 = sa.adam_apply_rows(values, m, v, slots, grads, *args,
+                                interpret=True)
+        o2 = sa.adam_apply_rows_reference(values, m, v, slots, grads,
+                                          *args)
+        for a, b in zip(o1, o2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_drops_and_ragged(self):
+        C = 32
+        values, m, v, slots, grads = self._mk(C=C, n=13)
+        slots = slots.at[0].set(C + 1)
+        args = (0.05, 0.9, 0.999, 1e-8)
+        o1 = sa.adam_apply_rows(values, m, v, slots, grads, *args,
+                                interpret=True)
+        o2 = sa.adam_apply_rows_reference(values, m, v, slots, grads,
+                                          *args)
+        for a, b in zip(o1, o2):
+            np.testing.assert_allclose(np.asarray(a[:C]),
+                                       np.asarray(b[:C]),
+                                       rtol=1e-5, atol=1e-6)

@@ -87,3 +87,43 @@ def test_wdl_sharded_runs_and_learns(mesh8):
             first = float(m["loss"])
     last = float(m["loss"])
     assert last < first, (first, last)
+
+
+def test_wdl_epoch_scan_matches_stepwise():
+    """make_epoch_step(lax.scan) == the same steps dispatched one by
+    one, and the multi-epoch variant continues from where epoch 1
+    ended (single device program, zero host dispatch between steps)."""
+    cols, group, model, data, params = _setup(batch=32)
+    opt = sopt.SparseAdagrad(learning_rate=0.05)
+    tx = optax.adagrad(0.05)
+    afn = wdl.apply_fn(model, group)
+    step = trainlib.make_train_step(group, afn, _loss_fn, opt, tx,
+                                    donate=False)
+    epoch = trainlib.make_epoch_step(group, afn, _loss_fn, opt, tx,
+                                     donate=False)
+
+    batches = [group.pack_batch(data.next_batch()) for _ in range(6)]
+    stacked = trainlib.stack_batches(batches)
+
+    ts0 = trainlib.create_train_state(group, params, tx, opt)
+    ts_scan, losses_scan = epoch(ts0, stacked)
+    assert losses_scan.shape == (6,)
+
+    ts_ref = trainlib.create_train_state(group, params, tx, opt)
+    ref = []
+    for b in batches:
+        ts_ref, m = step(ts_ref, b)
+        ref.append(float(m["loss"]))
+    np.testing.assert_allclose(np.asarray(losses_scan), ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ts_scan.step),
+                               np.asarray(ts_ref.step))
+
+    # Multi-epoch: [E, K] losses, epoch 1 row == single-epoch losses.
+    multi = trainlib.make_epoch_step(group, afn, _loss_fn, opt, tx,
+                                     donate=False, n_epochs=3)
+    ts_m, ls_m = multi(ts0, stacked)
+    assert ls_m.shape == (3, 6)
+    np.testing.assert_allclose(np.asarray(ls_m[0]),
+                               np.asarray(losses_scan), rtol=1e-5)
+    assert float(ls_m[2].mean()) < float(ls_m[0].mean())
+    assert int(ts_m.step) == 18

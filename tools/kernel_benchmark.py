@@ -56,6 +56,32 @@ def bench_sparse_apply(C=1 << 17, D=128, n=65536):
     }), flush=True)
 
 
+def bench_adam(C=1 << 17, D=128, n=65536):
+    from deeprec_tpu.ops.pallas import sparse_apply as sa
+
+    rng = np.random.default_rng(0)
+    values = jnp.asarray(rng.normal(size=(C + 1, D)), jnp.float32)
+    m = jnp.asarray(rng.normal(0, 0.1, size=(C + 1, D)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 0.1, size=(C + 1, D)), jnp.float32)
+    slots = jnp.asarray(rng.choice(C, size=n, replace=False), jnp.int32)
+    grads = jnp.asarray(rng.normal(size=(n, D)), jnp.float32)
+    args = (0.01, 0.9, 0.999, 1e-8)
+
+    ref = jax.jit(sa.adam_apply_rows_reference)
+    t_ref = timeit(ref, values, m, v, slots, grads, *args)
+    t_pal = timeit(sa.adam_apply_rows, values, m, v, slots, grads, *args)
+    o1 = sa.adam_apply_rows(values, m, v, slots, grads, *args)
+    o2 = ref(values, m, v, slots, grads, *args)
+    ok = all(bool(jnp.allclose(a, b, rtol=1e-5, atol=1e-6))
+             for a, b in zip(o1, o2))
+    print(json.dumps({
+        "metric": "sparse_adam_apply_3slot", "rows": n, "dim": D,
+        "xla_us": round(t_ref * 1e6, 1),
+        "pallas_us": round(t_pal * 1e6, 1),
+        "speedup": round(t_ref / t_pal, 3), "match": ok,
+    }), flush=True)
+
+
 def bench_lookup(C=1 << 20, n=1 << 17, max_probes=64):
     from deeprec_tpu import config as cfg
     from deeprec_tpu.embedding import hash_table as ht
@@ -95,11 +121,14 @@ def main():
         which = sys.argv[1]
         if which == "apply":
             bench_sparse_apply(n=int(sys.argv[2]))
+        elif which == "adam":
+            bench_adam(n=int(sys.argv[2]))
         elif which == "lookup":
             bench_lookup(max_probes=int(sys.argv[2]))
         return
     import subprocess
-    jobs = [("apply", "65536"), ("lookup", "64"), ("lookup", "16")]
+    jobs = [("apply", "65536"), ("adam", "65536"), ("lookup", "64"),
+            ("lookup", "16")]
     for job in jobs:
         r = subprocess.run([sys.executable, sys.argv[0], *job],
                            capture_output=True, text=True, timeout=900)
