@@ -254,3 +254,16 @@ class TestFeatureStore:
         assert written["f"] == 1   # only id 3 touched at step >= 1
         found, _ = store.get_batch("f", np.array([3], np.int64), 4)
         assert found[0]
+
+
+def test_env_collect():
+    """tools/env_collect.py gathers a bug-report doc (tf_env_collect
+    analog) without touching the device."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import env_collect
+    info = env_collect.collect(touch_device=False)
+    assert info["python"] and info["jax"] and info["cpu_count"] >= 1
+    assert "commit" in info["repo"]
+    assert "devices" not in info
