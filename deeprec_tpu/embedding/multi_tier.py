@@ -230,6 +230,14 @@ class TieredTable:
         key_lo = np.asarray(state.table.key_lo)
         resident = set(keylib.join_ids(key_hi, key_lo)[
             ht.live_mask_np(key_hi, key_lo)].tolist())
+        stale = np.array([i for i in cand.tolist() if i in resident],
+                         np.int64)
+        if stale.size:
+            # A resident id's spill copy is stale (the HBM row is the
+            # one being trained — e.g. a capped promotion let the lookup
+            # re-insert it fresh). Drop it so checkpoints never carry
+            # duplicate keys with conflicting values.
+            self.host.delete_batch(stale)
         cand = np.array([i for i in cand.tolist() if i not in resident],
                         np.int64)
         if cand.size == 0:
@@ -252,12 +260,16 @@ class TieredTable:
         for n, a in payload["slots"].items():
             arrays[f"slot/{n}"] = a
             extra[n] = slot_state[n]
-        state, extra = ev.import_arrays(
+        state, extra, landed = ev.import_arrays(
             self.cfg, state, arrays,
-            chunk=min(self.promote_chunk, 8192), extra_targets=extra)
+            chunk=min(self.promote_chunk, 8192), extra_targets=extra,
+            return_mask=True)
         slot_state = {**slot_state, **extra}
-        self.host.delete_batch(payload["ids"])
-        self.stats.promoted += int(payload["ids"].shape[0])
+        # Only remove spill copies of rows that actually landed: if the
+        # HBM shard filled up between demotions, the dropped rows keep
+        # their trained values in the spill tier and retry next step.
+        self.host.delete_batch(payload["ids"][landed])
+        self.stats.promoted += int(landed.sum())
         return state, slot_state
 
     # -- demotion ----------------------------------------------------------

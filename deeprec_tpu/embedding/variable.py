@@ -311,6 +311,7 @@ def import_arrays(
     partition_num: int = 1,
     chunk: int = 8192,
     extra_targets: Optional[dict[str, Any]] = None,
+    return_mask: bool = False,
 ):
     """Bulk-restore rows, keeping only keys whose shard hash maps to this
     partition — restore-time re-sharding, the ``KvResourceImportV2``
@@ -320,6 +321,12 @@ def import_arrays(
     e.g. optimizer slot rows) to scatter; ``arrays`` must then contain
     matching "slot/<name>" host arrays [N, ...].  Returns ``state`` (and
     the updated extras dict when given).
+
+    ``return_mask``: additionally return a host bool mask over the input
+    ``arrays['keys']`` marking rows that actually landed in the table —
+    rows probing past capacity are silently dropped by the ``mode='drop'``
+    scatters, and callers moving rows *out* of another tier must not
+    delete the source copy for dropped rows.
     """
     ids = np.asarray(arrays["keys"], np.int64)
     extra_names = list(extra_targets.keys()) if extra_targets else []
@@ -345,6 +352,7 @@ def import_arrays(
     extras_dev = dict(extra_targets) if extra_targets else {}
     n = ids.shape[0]
     capacity = cfg.capacity
+    landed = np.zeros(n, bool) if return_mask else None
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
         pad = chunk - (end - start)
@@ -356,6 +364,8 @@ def import_arrays(
             state.table, jnp.asarray(hi), jnp.asarray(lo),
             jnp.ones(chunk, bool), max_probes=cfg.max_probes)
         widx = _drop_idx(slots, capacity)
+        if landed is not None:
+            landed[start:end] = np.asarray(slots)[: end - start] < capacity
 
         def _pad_chunk(a, fill=0):
             out = np.full((chunk,) + a.shape[1:], fill, a.dtype)
@@ -378,6 +388,12 @@ def import_arrays(
             extras_dev[name] = extras_dev[name].at[widx].set(
                 jnp.asarray(_pad_chunk(extras_host[name])).astype(
                     extras_dev[name].dtype), mode="drop")
+    if return_mask:
+        full = np.zeros(keep.shape[0], bool)
+        full[np.nonzero(keep)[0]] = landed
+        if extra_targets is not None:
+            return state, extras_dev, full
+        return state, full
     if extra_targets is not None:
         return state, extras_dev
     return state

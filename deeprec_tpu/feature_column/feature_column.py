@@ -31,6 +31,20 @@ from deeprec_tpu.embedding import variable as ev
 from deeprec_tpu.utils import keys as keylib
 
 
+def _member_salt(i: int) -> tuple[int, int]:
+    """(hi, lo) int32 XOR salts for coalesced-table member ``i``:
+    splitmix64 of i+1, both halves forced non-zero."""
+    m = (1 << 64) - 1
+    x = ((i + 1) * 0x9E3779B97F4A7C15) & m
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    x ^= x >> 31
+    hi, lo = (x >> 32) & 0xFFFFFFFF, x & 0xFFFFFFFF
+    hi, lo = hi or 0x5851F42D, lo or 0x5851F42D
+    to_i32 = lambda v: v - (1 << 32) if v >= (1 << 31) else v  # noqa: E731
+    return to_i32(hi), to_i32(lo)
+
+
 class SparseIds(NamedTuple):
     """Padded-dense sparse feature: split int64 ids."""
 
@@ -172,12 +186,20 @@ class EmbeddingGroup:
                 phys = dataclasses.replace(base, name=phys_name,
                                            capacity=cap)
                 for i, (name, _) in enumerate(sorted(members)):
-                    # Salt 0 would alias the first member with raw ids
-                    # restored from non-coalesced checkpoints; any
-                    # fixed distinct non-zero int32 per member works.
+                    # Disambiguate member ids by XOR-ing distinct salts
+                    # into BOTH int64 halves (derived from a 64-bit mix
+                    # of the member index). Dense raw-id vocabularies
+                    # share one hi value, so distinct hi salts make
+                    # cross-member collisions impossible within any id
+                    # block spanning < 2^32; a general collision needs
+                    # an exact 64-bit XOR match (p ~ n^2 / 2^64).
+                    # The reference reserves disjoint offset ranges
+                    # instead (coalesced_utils.py), which raw 64-bit
+                    # keys cannot do. Member 0 is salted too, so raw
+                    # ids restored from non-coalesced checkpoints never
+                    # alias any member.
                     self._phys_of[name] = (phys_name,
-                                           (0x5851F42D * (i + 1))
-                                           & 0x7FFFFFFF)
+                                           _member_salt(i))
                 self._add_table(phys)
         else:
             for name, tc in logical.items():
@@ -246,14 +268,21 @@ class EmbeddingGroup:
                 jnp.concatenate([s.lo for s in sid], axis=1), widths)
 
     def transform_ids(self, column: "EmbeddingColumn", ids_hi, ids_lo):
-        """Per-logical-table id salt for coalesced tables: XOR on the lo
-        half of real ids. Sentinels (hi == EMPTY_HI by convention) pass
-        through, and the transform cannot create a sentinel."""
+        """Per-logical-table id salt for coalesced tables: XOR distinct
+        salts into both int64 halves of real ids. Only exact sentinels
+        (EMPTY/TOMBSTONE pairs) pass through; a salted id landing on a
+        sentinel pair is nudged off it (flip bit 1 of lo)."""
         salt = self._phys_of[column.table_name][1]
         if salt == 0:
             return ids_hi, ids_lo
-        real = ids_hi != keylib.EMPTY_HI
-        return ids_hi, jnp.where(real, ids_lo ^ jnp.int32(salt), ids_lo)
+        salt_hi, salt_lo = salt
+        sent = (ids_hi == keylib.EMPTY_HI) & (
+            (ids_lo == keylib.EMPTY_LO) | (ids_lo == keylib.TOMB_LO))
+        hi = jnp.where(sent, ids_hi, ids_hi ^ jnp.int32(salt_hi))
+        lo = jnp.where(sent, ids_lo, ids_lo ^ jnp.int32(salt_lo))
+        hit = ~sent & (hi == keylib.EMPTY_HI) & (
+            (lo == keylib.EMPTY_LO) | (lo == keylib.TOMB_LO))
+        return hi, jnp.where(hit, lo ^ jnp.int32(2), lo)
 
     # -- state ----------------------------------------------------------
     def create_state(self) -> Dict[str, ev.EVState]:

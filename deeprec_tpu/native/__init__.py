@@ -197,13 +197,20 @@ def parse_criteo(data: bytes, max_rows: int, log_transform: bool = True):
             _ptr(cats.reshape(-1), ctypes.c_int64),
             _ptr(consumed, ctypes.c_int64))
         return rows, labels, dense, cats, int(consumed[0])
-    # numpy fallback
-    text = data.decode("utf-8", "replace")
-    nl = text.rfind("\n")
-    consumed = nl + 1 if nl >= 0 else 0
-    lines = text[:consumed].split("\n")[:-1][:max_rows]
-    for r, line in enumerate(lines):
-        parts = line.split("\t")
+    # numpy fallback. ``consumed`` must cover only the lines actually
+    # parsed (byte offset of the end of line min(max_rows, n_lines)),
+    # matching the C path — callers loop on it to get the rest.
+    spans = []
+    start = 0
+    while len(spans) < max_rows:
+        nl = data.find(b"\n", start)
+        if nl < 0:
+            break
+        spans.append((start, nl))
+        start = nl + 1
+    consumed = start
+    for r, (s, e) in enumerate(spans):
+        parts = data[s:e].decode("utf-8", "replace").split("\t")
         labels[r] = float(parts[0]) if parts and parts[0] else 0.0
         for i in range(13):
             v = parts[1 + i] if 1 + i < len(parts) else ""
@@ -215,7 +222,7 @@ def parse_criteo(data: bytes, max_rows: int, log_transform: bool = True):
             v = parts[14 + i] if 14 + i < len(parts) else ""
             h = int(v, 16) if v else 0
             cats[r, i] = h + (i << 40)
-    return len(lines), labels, dense, cats, consumed
+    return len(spans), labels, dense, cats, consumed
 
 
 def parse_idlist(data: bytes, ncols: int, max_len: int,

@@ -97,9 +97,11 @@ class ServingModel:
         taking traffic (the processor's warmup-file role,
         ``docs/Processor.md``). Returns seconds spent."""
         t0 = time.perf_counter()
+        out = None
         for b in batches:
             out = self.predict(b)
-        jax.block_until_ready(out)
+        if out is not None:
+            jax.block_until_ready(out)
         return time.perf_counter() - t0
 
 

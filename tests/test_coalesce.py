@@ -186,3 +186,32 @@ def test_packed_batch_matches_unpacked():
                 ts, group.pack_batch(batches[0]))
             assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+
+def test_member_salts_collision_free_for_dense_vocabs():
+    """ADVICE r1: XOR-salting lo-only let dense raw-id vocabularies
+    >= 2^25 alias across members. The hi-half salts must be pairwise
+    distinct so ids sharing a hi word (any dense block < 2^32) can
+    never collide across members."""
+    from deeprec_tpu.feature_column.feature_column import _member_salt
+    from deeprec_tpu.utils import keys as keylib
+    salts = [_member_salt(i) for i in range(32)]
+    his = [s[0] for s in salts]
+    assert len(set(his)) == 32
+    assert all(h != 0 and l != 0 for h, l in salts)
+
+    # End-to-end: two members fed the same dense range map to disjoint
+    # physical key sets.
+    g = EmbeddingGroup(_cols(2, cap=1 << 6), coalesce=True)
+    ids = np.arange(1 << 12, dtype=np.int64).reshape(-1, 1)
+    s = SparseIds.from_numpy(ids)
+    seen = set()
+    for i in range(2):
+        col = next(c for c in g.embedding if c.name == f"c{i}")
+        hi, lo = g.transform_ids(col, s.hi, s.lo)
+        keys = keylib.join_ids(np.asarray(hi).ravel(),
+                               np.asarray(lo).ravel())
+        ks = set(keys.tolist())
+        assert len(ks) == ids.size          # transform is injective
+        assert not (ks & seen)              # and cross-member disjoint
+        seen |= ks

@@ -160,3 +160,38 @@ class TestHashOffsetUnique:
         ids = np.array([[1, 1], [1, 2]], np.int64)
         uniq, inverse, counts = native.hash_offset_unique(ids)
         assert set(uniq.tolist()) == {1, 1 + (1 << 40), 2 + (1 << 40)}
+
+
+class TestParseCriteoFallbackContract:
+    """The numpy fallback must honor the same ``consumed`` contract as
+    the C path: only the bytes of parsed lines (ADVICE r1 fix)."""
+
+    def _lines(self, n):
+        mk = lambda r: (f"{r % 2}\t" + "\t".join(str(r + i) for i in range(13))
+                        + "\t" + "\t".join(format(r * 31 + i, "x")
+                                           for i in range(26)))
+        return "\n".join(mk(r) for r in range(n)) + "\n"
+
+    def test_fallback_consumed_covers_only_parsed_lines(self, monkeypatch):
+        monkeypatch.setattr(native, "_build_and_load", lambda: None)
+        data = self._lines(5).encode()
+        rows, labels, _, cats, consumed = native.parse_criteo(data, 2)
+        assert rows == 2
+        # consumed = end of line 2, not end of last complete line
+        assert consumed == len(self._lines(2).encode())
+        # the loop-on-consumed pattern recovers every remaining row
+        rows2, labels2, _, _, c2 = native.parse_criteo(data[consumed:], 10)
+        assert rows2 == 3
+        assert consumed + c2 == len(data)
+        np.testing.assert_array_equal(labels2[:3],
+                                      np.array([0.0, 1.0, 0.0], np.float32))
+
+    def test_fallback_matches_native_consumed(self, monkeypatch):
+        if not native.have_native():
+            pytest.skip("no native lib")
+        data = self._lines(7).encode()
+        r_n, _, _, c_n, cons_n = native.parse_criteo(data, 4)
+        monkeypatch.setattr(native, "_build_and_load", lambda: None)
+        r_f, _, _, c_f, cons_f = native.parse_criteo(data, 4)
+        assert (r_n, cons_n) == (r_f, cons_f)
+        np.testing.assert_array_equal(c_n[:4], c_f[:4])
