@@ -155,12 +155,19 @@ def lookup_train(
     if isinstance(f, cfglib.CBFFilter):
         pos = _bloom_positions(f, qhi, qlo)  # [k, n]
         add = jnp.where(is_real, counts, 0)
-        for k in range(f.num_hash_func):
-            bloom = bloom.at[pos[k]].add(add, mode="drop")
-        cbf_count = jnp.min(
+        # Admission sees the PRE-update counters plus the id's own
+        # in-batch count — per-id semantics matching the reference's
+        # sequential BloomFilter loop (embedding_filter.h:61). Reading
+        # post-update counters would let unrelated ids in the same
+        # batch inflate each other through shared counter positions
+        # (measured: 19% false admits on a 1000-id batch vs ~1% true
+        # CBF rate).
+        pre = jnp.min(
             jnp.stack([bloom[pos[k]] for k in range(f.num_hash_func)], 0),
             axis=0)
-        insert_mask = is_real & (cbf_count >= f.filter_freq)
+        for k in range(f.num_hash_func):
+            bloom = bloom.at[pos[k]].add(add, mode="drop")
+        insert_mask = is_real & (pre + add >= f.filter_freq)
     else:
         insert_mask = is_real
 
@@ -275,6 +282,36 @@ def shrink(cfg: cfglib.TableConfig, state: EVState, global_step) -> EVState:
 
 def num_live(state: EVState):
     return ht.num_live(state.table)
+
+
+def delete_keys(cfg: cfglib.TableConfig, state: EVState,
+                ids: np.ndarray) -> EVState:
+    """Remove the given int64 ids from the table (tombstone their slots,
+    clear metadata).  Host-driven — the incremental-checkpoint tombstone
+    replay path (reference deletions pair ckpt-time Shrink with the
+    delta machinery, ``incr_save_restore_ops.h:177-301``)."""
+    ids = np.unique(np.asarray(ids, np.int64))
+    ids = ids[~np.isin(ids, (keylib.EMPTY_ID, keylib.TOMB_ID))]
+    if ids.size == 0:
+        return state
+    capacity = cfg.capacity
+    mask = jnp.zeros((capacity,), bool)
+    chunk = 8192
+    for start in range(0, ids.size, chunk):
+        b = ids[start:start + chunk]
+        b = np.concatenate(
+            [b, np.full(chunk - b.size, keylib.EMPTY_ID, np.int64)])
+        hi, lo = keylib.split_ids(b)
+        slots = ht.find(state.table, jnp.asarray(hi), jnp.asarray(lo),
+                        max_probes=cfg.max_probes)
+        mask = mask.at[_drop_idx(slots, capacity)].set(True, mode="drop")
+    freqs = jnp.where(mask, 0, state.freqs[:-1])
+    versions = jnp.where(mask, -1, state.versions[:-1])
+    return state.replace(
+        table=ht.remove_slots(state.table, mask),
+        freqs=jnp.concatenate([freqs, state.freqs[-1:]]),
+        versions=jnp.concatenate([versions, state.versions[-1:]]),
+    )
 
 
 # ---------------------------------------------------------------------------

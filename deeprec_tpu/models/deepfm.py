@@ -21,15 +21,23 @@ NUM_CAT = 26
 
 
 def criteo_columns(embedding_dim: int = 16, capacity: int = 1 << 16,
-                   ev_option: cfglib.EmbeddingVariableOption | None = None):
+                   ev_option: cfglib.EmbeddingVariableOption | None = None,
+                   reference_shapes: bool = False):
+    """``reference_shapes``: dim 16 with per-column capacities from the
+    reference bucket table (``modelzoo/DeepFM/train.py:334-353``);
+    ``capacity`` is then a ceiling."""
+    from deeprec_tpu.data import criteo as criteo_data
     ev_option = ev_option or cfglib.EmbeddingVariableOption()
     cols = [NumericColumn(f"I{i}") for i in range(1, NUM_INT + 1)]
     for i in range(1, NUM_CAT + 1):
+        cap = (criteo_data.capacity_for(
+            criteo_data.CRITEO_HASH_BUCKETS[i - 1], ceiling=capacity)
+            if reference_shapes else capacity)
         cols.append(EmbeddingColumn(
-            name=f"C{i}", dim=embedding_dim, capacity=capacity,
+            name=f"C{i}", dim=embedding_dim, capacity=cap,
             combiner="mean", ev_option=ev_option))
         cols.append(EmbeddingColumn(
-            name=f"C{i}_wide", dim=1, capacity=capacity, combiner="sum",
+            name=f"C{i}_wide", dim=1, capacity=cap, combiner="sum",
             initializer="zeros", ev_option=ev_option))
     return cols
 

@@ -21,11 +21,18 @@ NUM_CAT = 26
 
 
 def criteo_columns(embedding_dim: int = 16, capacity: int = 1 << 16,
-                   ev_option: cfglib.EmbeddingVariableOption | None = None):
+                   ev_option: cfglib.EmbeddingVariableOption | None = None,
+                   reference_shapes: bool = False):
+    """``reference_shapes``: the reference DLRM uses dim 16 and a
+    uniform 10000-bucket hash per column
+    (``modelzoo/DLRM/train.py:330-393``)."""
+    from deeprec_tpu.data import criteo as criteo_data
     ev_option = ev_option or cfglib.EmbeddingVariableOption()
+    cap = (criteo_data.capacity_for(10000, ceiling=capacity)
+           if reference_shapes else capacity)
     cols = [NumericColumn(f"I{i}") for i in range(1, NUM_INT + 1)]
     cols += [EmbeddingColumn(name=f"C{i}", dim=embedding_dim,
-                             capacity=capacity, combiner="sum",
+                             capacity=cap, combiner="sum",
                              ev_option=ev_option)
              for i in range(1, NUM_CAT + 1)]
     return cols

@@ -24,13 +24,17 @@ NUM_CAT = 26
 
 
 def criteo_columns(embedding_dim: int = 16, capacity: int = 1 << 16,
-                   ev_option=None):
+                   ev_option=None, reference_shapes: bool = False):
+    from deeprec_tpu.data import criteo as criteo_data
     ev_option = ev_option or cfglib.EmbeddingVariableOption()
     cols = [NumericColumn(f"I{i}") for i in range(1, NUM_INT + 1)]
-    cols += [EmbeddingColumn(name=f"C{i}", dim=embedding_dim,
-                             capacity=capacity, combiner="mean",
-                             ev_option=ev_option)
-             for i in range(1, NUM_CAT + 1)]
+    cols += [EmbeddingColumn(
+        name=f"C{i}", dim=embedding_dim,
+        capacity=(criteo_data.capacity_for(
+            criteo_data.CRITEO_HASH_BUCKETS[i - 1], ceiling=capacity)
+            if reference_shapes else capacity),
+        combiner="mean", ev_option=ev_option)
+        for i in range(1, NUM_CAT + 1)]
     return cols
 
 

@@ -27,17 +27,31 @@ def criteo_columns(
     capacity: int = 1 << 16,
     ev_option: cfglib.EmbeddingVariableOption | None = None,
     combiner: str = "mean",
+    reference_shapes: bool = False,
 ):
     """Criteo-Kaggle column set: I1..I13 numeric, C1..C26 categorical,
-    each with a deep embedding and a wide (dim-1) embedding."""
+    each with a deep embedding and a wide (dim-1) embedding.
+
+    ``reference_shapes``: per-column embedding dims (64/128) and
+    capacities sized from the reference bucket counts
+    (``modelzoo/WDL/train.py:40-96``); ``capacity`` then acts as a
+    per-column ceiling.
+    """
+    from deeprec_tpu.data import criteo as criteo_data
     ev_option = ev_option or cfglib.EmbeddingVariableOption()
     cols = [NumericColumn(f"I{i}") for i in range(1, NUM_INT + 1)]
     for i in range(1, NUM_CAT + 1):
+        if reference_shapes:
+            dim = criteo_data.WDL_EMBEDDING_DIMS[i - 1]
+            cap = criteo_data.capacity_for(
+                criteo_data.CRITEO_HASH_BUCKETS[i - 1], ceiling=capacity)
+        else:
+            dim, cap = embedding_dim, capacity
         cols.append(EmbeddingColumn(
-            name=f"C{i}", dim=embedding_dim, capacity=capacity,
+            name=f"C{i}", dim=dim, capacity=cap,
             combiner=combiner, ev_option=ev_option))
         cols.append(EmbeddingColumn(
-            name=f"C{i}_wide", dim=1, capacity=capacity, combiner="sum",
+            name=f"C{i}_wide", dim=1, capacity=cap, combiner="sum",
             initializer="zeros", ev_option=ev_option))
     return cols
 

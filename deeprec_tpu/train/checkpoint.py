@@ -110,7 +110,31 @@ class CheckpointManager:
         self.dir = directory
         self.group = group
         self.keep = keep
+        # Keys evicted (shrink) since the last save, per table — the
+        # deletion half of the incremental-checkpoint contract
+        # (``incr_save_restore_ops.h:177-301`` pairs with ckpt-time
+        # Shrink): without them, full+delta restore resurrects rows
+        # evicted after the full save.
+        self._tombstones: Dict[str, set] = {}
+        # Auxiliary saveable resources riding the checkpoint (the
+        # reference's saveable-resource mechanism — WorkQueue is one,
+        # ``python/ops/work_queue.py:113``): name -> (get_state,
+        # set_state) with JSON-serializable state.
+        self._aux: Dict[str, tuple] = {}
+        # Optional multi-tier spill stores (host tier rides the ckpt).
+        self._tiered = None
         os.makedirs(directory, exist_ok=True)
+
+    def register_aux(self, name: str, get_state, set_state):
+        """Attach a saveable resource: ``get_state() -> json-able``,
+        ``set_state(state)``. Saved with every checkpoint; the newest
+        applied checkpoint's state wins on restore."""
+        self._aux[name] = (get_state, set_state)
+
+    def attach_tiered(self, tiered_group):
+        """Attach a ``TieredGroup`` so spill-tier rows are saved with
+        every checkpoint and re-imported (re-bucketed) on restore."""
+        self._tiered = tiered_group
 
     # -- helpers ---------------------------------------------------------
     def _table_shards(self, ts: TrainState, tname: str):
@@ -124,6 +148,33 @@ class CheckpointManager:
                        jax.tree.map(lambda x: x[s], slots))
         else:
             yield state, slots
+
+    def _live_keys(self, ts: TrainState, tname: str) -> np.ndarray:
+        out = []
+        for st, _ in self._table_shards(ts, tname):
+            ids = keylib.join_ids(np.asarray(st.table.key_hi),
+                                  np.asarray(st.table.key_lo))
+            out.append(ids[~np.isin(ids, (keylib.EMPTY_ID,
+                                          keylib.TOMB_ID))])
+        return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+    def shrink_tables(self, ts: TrainState,
+                      global_step: Optional[int] = None) -> TrainState:
+        """Checkpoint-time eviction with deletion journaling: runs
+        ``group.shrink`` and records every evicted key so the next
+        incremental save carries tombstones. Use this (not bare
+        ``group.shrink``) whenever incremental checkpoints are in play.
+        """
+        step = (int(jax.device_get(ts.step)) if global_step is None
+                else int(global_step))
+        before = {t: self._live_keys(ts, t) for t in self.group.tables}
+        ts = ts.replace(ev=self.group.shrink(ts.ev, step))
+        for t in self.group.tables:
+            gone = np.setdiff1d(before[t], self._live_keys(ts, t))
+            if gone.size:
+                self._tombstones.setdefault(t, set()).update(
+                    gone.tolist())
+        return ts
 
     def _steps(self, kind: str):
         pat = re.compile(rf"{kind}-(\d+)$")
@@ -154,8 +205,26 @@ class CheckpointManager:
         for tname, cfg in self.group.tables.items():
             for si, (st, sl) in enumerate(self._table_shards(ts, tname)):
                 arrs = _export_table(cfg, st, sl, min_version=min_version)
+                if incremental and si == 0:
+                    # Deletion records: journaled evictions minus keys
+                    # that were re-inserted since (currently live).
+                    journal = np.fromiter(
+                        self._tombstones.get(tname, ()), np.int64,
+                        len(self._tombstones.get(tname, ())))
+                    arrs["tombstones"] = np.setdiff1d(
+                        journal, self._live_keys(ts, tname))
                 np.savez(os.path.join(tmp, f"table-{tname}-s{si}.npz"),
                          **arrs)
+        if self._aux:
+            aux = {n: get() for n, (get, _) in self._aux.items()}
+            with open(os.path.join(tmp, "aux.json"), "w") as f:
+                json.dump(aux, f)
+        if self._tiered is not None:
+            for tname, shards in self._tiered.export_spill().items():
+                for si, arrs in shards.items():
+                    if len(arrs.get("keys", ())):
+                        np.savez(os.path.join(
+                            tmp, f"spill-{tname}-s{si}.npz"), **arrs)
         meta = {
             "step": step,
             "kind": kind,
@@ -168,6 +237,9 @@ class CheckpointManager:
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
+        # The snapshot (full) / delta (incremental) just written fully
+        # reflects all journaled evictions — start a fresh journal.
+        self._tombstones.clear()
         self._gc()
         return path
 
@@ -228,6 +300,22 @@ class CheckpointManager:
             restored = _unflatten_like(tmpl, dense)
             ts = ts.replace(params=restored["params"],
                             dense_opt=restored["dense_opt"])
+        if self._aux and os.path.exists(os.path.join(path, "aux.json")):
+            with open(os.path.join(path, "aux.json")) as f:
+                aux = json.load(f)
+            for n, (_, setter) in self._aux.items():
+                if n in aux:
+                    setter(aux[n])
+        if self._tiered is not None:
+            blob: Dict[str, Dict] = {}
+            for fn in os.listdir(path):
+                m = re.match(r"spill-(.+)-s(\d+)\.npz$", fn)
+                if m:
+                    blob.setdefault(m.group(1), {})[int(m.group(2))] = \
+                        dict(np.load(os.path.join(path, fn),
+                                     allow_pickle=False))
+            if blob:
+                self._tiered.import_spill(blob)
 
         S_new = self.group.num_shards
         new_ev = dict(ts.ev)
@@ -237,6 +325,7 @@ class CheckpointManager:
             merged: Dict[str, list] = {}
             scalars: Dict[str, np.ndarray] = {}
             bloom = None
+            tombs = None
             for si in range(meta["num_shards"]):
                 f = os.path.join(path, f"table-{tname}-s{si}.npz")
                 if not os.path.exists(f):
@@ -247,6 +336,8 @@ class CheckpointManager:
                         scalars[k[len("scalar/"):]] = v
                     elif k == "bloom":
                         bloom = v
+                    elif k == "tombstones":
+                        tombs = v
                     else:
                         merged.setdefault(k, []).append(v)
             if "keys" not in merged:
@@ -262,6 +353,12 @@ class CheckpointManager:
                 sl2 = _set_leaves(sl, rows2, scalars)
                 if bloom is not None and pnum == meta["num_shards"]:
                     st2 = st2.replace(bloom=jnp.asarray(bloom))
+                if tombs is not None and tombs.size:
+                    # Deletions recorded since the base full save —
+                    # applied after upserts so an evicted-then-reinserted
+                    # key (absent from tombstones by construction)
+                    # survives while truly evicted rows do not resurrect.
+                    st2 = ev.delete_keys(cfg, st2, tombs)
                 return st2, sl2
 
             if S_new > 1:

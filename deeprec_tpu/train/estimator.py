@@ -83,8 +83,9 @@ class CheckpointHook(Hook):
 
     def _full(self, est, step):
         if self.shrink:
-            est.ts = est.ts.replace(
-                ev=est.group.shrink(est.ts.ev, step))
+            # Journaled shrink: evictions are recorded so later deltas
+            # carry tombstones (they'd otherwise resurrect on restore).
+            est.ts = self.mgr.shrink_tables(est.ts, step)
         self.mgr.save(est.ts)
         self._last_save = step
 
@@ -93,6 +94,8 @@ class CheckpointHook(Hook):
             self._full(est, step)
         elif (self.incr_steps and step
               and step % self.incr_steps == 0):
+            if self.shrink:
+                est.ts = self.mgr.shrink_tables(est.ts, step)
             self.mgr.save(est.ts, incremental=True,
                           since_step=self._last_save)
 
@@ -133,7 +136,8 @@ class Estimator:
                  sparse_opt, dense_tx, params,
                  mesh: Optional[jax.sharding.Mesh] = None,
                  micro_batch_num: int = 1,
-                 model_dir: Optional[str] = None):
+                 model_dir: Optional[str] = None,
+                 work_queue=None):
         self.group = group
         self.apply_fn = apply_fn
         self.loss_fn = loss_fn
@@ -146,6 +150,14 @@ class Estimator:
         self.model_dir = model_dir
         self.manager = (CheckpointManager(model_dir, group)
                         if model_dir else None)
+        self.work_queue = work_queue
+        if work_queue is not None and self.manager is not None:
+            # Saveable-resource wiring (``work_queue.py:113`` behavior):
+            # checkpoints carry the remaining work; a restore resumes
+            # the queue instead of re-reading consumed files.
+            self.manager.register_aux(
+                "work_queue", work_queue.state,
+                lambda st: work_queue.restore_state(st))
 
     def restore_if_available(self) -> Optional[int]:
         if self.manager and self.manager.latest_step() is not None:

@@ -133,3 +133,141 @@ def test_restore_resharded_to_8(tmp_path, mesh8):
         np.testing.assert_allclose(
             np.asarray(eval8(ts8, b)), np.asarray(ev_step(ts, b)),
             rtol=1e-5, atol=1e-6)
+
+
+def _live_ids(ts, tname="item"):
+    from deeprec_tpu.utils import keys as keylib
+    st = jax.device_get(ts.ev[tname])
+    ids = keylib.join_ids(np.asarray(st.table.key_hi),
+                          np.asarray(st.table.key_lo))
+    return set(ids[~np.isin(ids, (keylib.EMPTY_ID,
+                                  keylib.TOMB_ID))].tolist())
+
+
+def _make_evict(tmp, steps_to_live=5):
+    ev_opt = cfglib.EmbeddingVariableOption(
+        evict_option=cfglib.GlobalStepEvict(steps_to_live=steps_to_live))
+    cols = [NumericColumn("x"),
+            EmbeddingColumn("item", dim=4, capacity=256,
+                            ev_option=ev_opt)]
+    group = EmbeddingGroup(cols)
+    model = TinyModel()
+
+    def mk(i, lo=0, hi=60):
+        r = np.random.default_rng(100 + i)
+        ids = r.integers(lo, hi, size=(16, 2)).astype(np.int64)
+        return {"x": jnp.asarray(r.normal(size=16).astype(np.float32)),
+                "item": SparseIds.from_numpy(ids),
+                "label": jnp.asarray((r.random(16) < 0.5)
+                                     .astype(np.float32))}
+
+    b0 = mk(0)
+    st0 = group.create_state()
+    _, gl = group.lookup_train(st0, b0, 0)
+    embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+    params = model.init(jax.random.key(0), embs,
+                        group.numeric_features(b0))["params"]
+    opt = sopt.SparseAdam(learning_rate=0.05)
+    tx = optax.adam(0.01)
+    ts = trainlib.create_train_state(group, params, tx, opt)
+    afn = lambda p, e, b: model.apply({"params": p}, e,
+                                      group.numeric_features(b))
+    lfn = lambda o, b: losses.bce_with_logits(o, b["label"])
+    step = trainlib.make_train_step(group, afn, lfn, opt, tx, donate=False)
+    return group, ts, step, mk
+
+
+def test_eviction_then_delta_restore_does_not_resurrect(tmp_path):
+    """VERDICT r1 item 4: rows evicted by shrink after the last full
+    save must NOT come back on full+delta restore (tombstones)."""
+    group, ts, step, mk = _make_evict(tmp_path, steps_to_live=5)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), group)
+
+    # Steps 0..3 touch ids [0, 60); full save.
+    for i in range(4):
+        ts, _ = step(ts, mk(i, 0, 60))
+    mgr.save(ts)                                        # full @4
+    # Steps 4..14 touch only [100, 160): the old ids age out.
+    for i in range(4, 15):
+        ts, _ = step(ts, mk(i, 100, 160))
+    ts = mgr.shrink_tables(ts)       # evicts every id from [0, 60)
+    live_after_shrink = _live_ids(ts)
+    assert all(i >= 100 for i in live_after_shrink)
+    mgr.save(ts, incremental=True, since_step=4)        # delta @15
+
+    group2, ts2, _, _ = _make_evict(tmp_path)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), group2)
+    ts2 = mgr2.restore(ts2)
+    assert _live_ids(ts2) == live_after_shrink          # no resurrection
+
+
+def test_evicted_then_reinserted_key_survives_delta(tmp_path):
+    group, ts, step, mk = _make_evict(tmp_path, steps_to_live=5)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), group)
+    for i in range(4):
+        ts, _ = step(ts, mk(i, 0, 60))
+    mgr.save(ts)
+    for i in range(4, 15):
+        ts, _ = step(ts, mk(i, 100, 160))
+    ts = mgr.shrink_tables(ts)                 # [0, 60) evicted
+    # ... but some old ids come back before the delta is written:
+    ts, _ = step(ts, mk(77, 0, 60))
+    live = _live_ids(ts)
+    assert any(i < 60 for i in live)
+    mgr.save(ts, incremental=True, since_step=4)
+
+    group2, ts2, _, _ = _make_evict(tmp_path)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), group2)
+    ts2 = mgr2.restore(ts2)
+    assert _live_ids(ts2) == live
+
+
+def test_cbf_bloom_state_rides_deltas(tmp_path):
+    """The CBF counters must restore from full+delta to the live state
+    (the newest delta's bloom wins)."""
+    ev_opt = cfglib.EmbeddingVariableOption(
+        filter_option=cfglib.CBFFilter(filter_freq=3,
+                                       num_counters=512,
+                                       num_hash_func=2))
+    cols = [NumericColumn("x"),
+            EmbeddingColumn("item", dim=4, capacity=256,
+                            ev_option=ev_opt)]
+    group = EmbeddingGroup(cols)
+    model = TinyModel()
+
+    def mk(i):
+        r = np.random.default_rng(100 + i)
+        ids = r.integers(0, 40, size=(16, 2)).astype(np.int64)
+        return {"x": jnp.asarray(r.normal(size=16).astype(np.float32)),
+                "item": SparseIds.from_numpy(ids),
+                "label": jnp.asarray((r.random(16) < 0.5)
+                                     .astype(np.float32))}
+
+    b0 = mk(0)
+    st0 = group.create_state()
+    _, gl = group.lookup_train(st0, b0, 0)
+    embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+    params = model.init(jax.random.key(0), embs,
+                        group.numeric_features(b0))["params"]
+    opt = sopt.SparseAdam(learning_rate=0.05)
+    tx = optax.adam(0.01)
+    ts = trainlib.create_train_state(group, params, tx, opt)
+    afn = lambda p, e, b: model.apply({"params": p}, e,
+                                      group.numeric_features(b))
+    lfn = lambda o, b: losses.bce_with_logits(o, b["label"])
+    step = trainlib.make_train_step(group, afn, lfn, opt, tx, donate=False)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), group)
+
+    for i in range(5):
+        ts, _ = step(ts, mk(i))
+    mgr.save(ts)
+    for i in range(5, 9):
+        ts, _ = step(ts, mk(i))
+    mgr.save(ts, incremental=True, since_step=5)
+
+    ts2 = trainlib.create_train_state(group, params, tx, opt)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"), group)
+    ts2 = mgr2.restore(ts2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(ts2.ev["item"].bloom)),
+        np.asarray(jax.device_get(ts.ev["item"].bloom)))

@@ -35,13 +35,36 @@ def _arg(flag, default, cast=int):
     return default
 
 
-SMALL = dict(embedding_dim=16, capacity=1 << 18)
+# Reference-shaped configs (VERDICT r1 item 1): per-column Criteo
+# cardinalities/dims from modelzoo/WDL/train.py:40-96 (reference_shapes
+# in each columns()), reference tower sizes, reference embedding dims
+# (DLRM/DeepFM 16, DIN/DIEN 18, BST/DSSM 16). ``capacity`` is a
+# per-column ceiling for the CPU accuracy runs.
+COLUMN_KWARGS = {
+    "wdl": dict(reference_shapes=True, capacity=1 << 18),
+    "deepfm": dict(embedding_dim=16, reference_shapes=True,
+                   capacity=1 << 18),
+    "dlrm": dict(embedding_dim=16, reference_shapes=True,
+                 capacity=1 << 18),
+    "esmm": dict(embedding_dim=16, reference_shapes=True,
+                 capacity=1 << 18),
+    "mmoe": dict(embedding_dim=16, reference_shapes=True,
+                 capacity=1 << 18),
+    "dbmtl": dict(embedding_dim=16, reference_shapes=True,
+                  capacity=1 << 18),
+    "simple_multitask": dict(embedding_dim=16, reference_shapes=True,
+                             capacity=1 << 18),
+    "din": dict(embedding_dim=18, capacity=1 << 18),
+    "dien": dict(embedding_dim=18, capacity=1 << 18),
+    "bst": dict(embedding_dim=16, capacity=1 << 18),
+    "dssm": dict(embedding_dim=16, capacity=1 << 18),
+}
 
 MODULE_KWARGS = {
-    "wdl": dict(hidden=(256, 128, 64)),
-    "deepfm": dict(hidden=(256, 128, 32)),
-    "dlrm": dict(embedding_dim=16, bottom=(128, 64, 16),
-                 top=(256, 128, 64)),
+    "wdl": dict(hidden=(1024, 512, 256)),
+    "deepfm": dict(hidden=(1024, 512, 256)),
+    "dlrm": dict(embedding_dim=16, bottom=(512, 256),
+                 top=(1024, 1024, 512, 256)),
     "din": dict(hidden=(200, 80), att_hidden=(80, 40)),
     "dien": dict(gru_hidden=36, hidden=(200, 80)),
     "bst": dict(hidden=(256, 128, 64), num_blocks=1, num_heads=8),
@@ -61,15 +84,19 @@ def run(name: str, steps: int = 288, bf16: bool = True,
     from deeprec_tpu.train import loop as trainlib
     from deeprec_tpu.train import metrics as metricslib
 
+    from deeprec_tpu.data.criteo import CRITEO_HASH_BUCKETS
+
     entry = ZOO[name]
     is_seq = name in ("din", "dien", "bst", "dssm")
-    group = EmbeddingGroup(entry.columns(**SMALL), coalesce=True)
+    group = EmbeddingGroup(entry.columns(**COLUMN_KWARGS[name]),
+                           coalesce=True)
     mk = dict(MODULE_KWARGS[name])
     if bf16:
         mk["dtype"] = jnp.bfloat16
     module = entry.make_module(**mk)
-    dk = dict(batch_size=batch, num_items=100_000, seq_len=50) if is_seq \
-        else dict(batch_size=batch, vocab=100_000)
+    dk = dict(batch_size=batch, num_items=100_000, num_cats=1000,
+              seq_len=50) if is_seq \
+        else dict(batch_size=batch, vocab=CRITEO_HASH_BUCKETS)
     data = entry.make_data(seed=0, **dk)
 
     b0 = group.pack_batch(data.next_batch())
@@ -83,25 +110,30 @@ def run(name: str, steps: int = 288, bf16: bool = True,
         return module.init(key, embs, group.numeric_features(b))
 
     variables = _init(group.create_state(), b0, jax.random.key(0))
-    opt = sopt.SparseAdagrad(learning_rate=0.05)
-    tx = optax.adagrad(0.05)
+    lr = _arg("--lr", 0.05, float)
+    opt = sopt.SparseAdagrad(learning_rate=lr)
+    tx = optax.adagrad(lr)
     ts = trainlib.create_train_state(group, variables["params"], tx, opt)
     afn = entry.make_apply(module, group)
 
     n_epochs = max(1, -(-steps // pool))
     steps = n_epochs * pool
-    stacked = trainlib.stack_batches(
-        [group.pack_batch(data.next_batch()) for _ in range(pool)])
     eval_stacked = trainlib.stack_batches(
         [group.pack_batch(data.next_batch()) for _ in range(10)])
 
-    run_all = trainlib.make_epoch_step(group, afn, entry.loss, opt, tx,
-                                       n_epochs=n_epochs)
-    eval_step = trainlib.make_eval_step(group, afn)
-
+    # One compiled pool-sized scan, fed FRESH batches every epoch — the
+    # stream is infinite; recycling a fixed pool lets per-id embeddings
+    # memorize it (loss drops, held-out AUC stays at chance).
+    run_pool = trainlib.make_epoch_step(group, afn, entry.loss, opt, tx,
+                                        n_epochs=1)
     t0 = time.perf_counter()
-    ts, ls = run_all(ts, stacked)
-    jax.block_until_ready(ls)
+    epoch_losses = []
+    for _ in range(n_epochs):
+        stacked = trainlib.stack_batches(
+            [group.pack_batch(data.next_batch()) for _ in range(pool)])
+        ts, ls = run_pool(ts, stacked)
+        epoch_losses.append(np.asarray(jax.device_get(ls)).reshape(-1))
+    ls = jnp.asarray(np.concatenate(epoch_losses))
     train_s = time.perf_counter() - t0
 
     out = {"metric": f"{name}_synthetic_accuracy",
@@ -110,19 +142,33 @@ def run(name: str, steps: int = 288, bf16: bool = True,
            "steps": steps, "batch": batch,
            "train_s_incl_compile": round(train_s, 1)}
 
+    eval_step = trainlib.make_eval_step(group, afn)
     ls = np.asarray(jax.device_get(ls)).reshape(n_epochs, pool)
     out["loss_epoch_means"] = [round(float(m), 4) for m in ls.mean(1)]
     out["loss_drops"] = bool(ls.mean(1)[-1] < ls.mean(1)[0])
 
-    # Streaming AUC for single-binary-logit models.
+    # Streaming AUC: single-logit models score directly; multitask
+    # models score their CTR head against the click label; DSSM scores
+    # the user·item tower dot-product against the click label (its
+    # in-batch-softmax training signal is ranking, the AUC checks it
+    # transfers to pointwise click discrimination).
     probe = eval_step(ts, jax.tree.map(lambda x: x[0], eval_stacked))
-    if hasattr(probe, "ndim") and probe.ndim == 1:
+
+    def score_and_label(o, b):
+        if isinstance(o, dict) and "ctr" in o:
+            return o["ctr"], b["click"]
+        if isinstance(o, tuple) and len(o) == 2:
+            u, v = o
+            return jnp.sum(u * v, axis=1), b["label"]
+        return o, b["label"]
+
+    if (hasattr(probe, "ndim") and probe.ndim == 1) or \
+            isinstance(probe, (dict, tuple)):
         @jax.jit
         def eval_all(ts_, se):
             def body(auc, b):
-                logits = eval_step(ts_, b)
-                return metricslib.auc_update(auc, logits,
-                                             b["label"]), None
+                logits, labels = score_and_label(eval_step(ts_, b), b)
+                return metricslib.auc_update(auc, logits, labels), None
             auc, _ = jax.lax.scan(body, metricslib.auc_init(), se)
             return auc
 
@@ -132,11 +178,59 @@ def run(name: str, steps: int = 288, bf16: bool = True,
     return out
 
 
+def _campaign(names, steps, argv_tail):
+    """One subprocess per model (clean device/memory per run); collect
+    rows into ZOO_AUC.json at the repo root."""
+    import os
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "ZOO_AUC.json")
+    rows = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f)
+        rows = [r for r in old.get("models", [])
+                if r.get("metric", "").rsplit("_synthetic", 1)[0]
+                not in names]
+    for name in names:
+        cmd = [sys.executable, os.path.abspath(__file__), name,
+               str(steps)] + argv_tail
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=7200)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        row = (json.loads(lines[-1]) if lines else
+               {"metric": f"{name}_synthetic_accuracy",
+                "error": (r.stderr.strip() or "no output")[-400:]})
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        with open(out_path, "w") as f:
+            json.dump({
+                "note": ("Per-model end-to-end accuracy (tools/"
+                         "zoo_auc.py): interaction/sequence-structured "
+                         "synthetic streams (data/criteo.py, data/"
+                         "behavior.py docstrings), reference-shaped "
+                         "configs, fresh batches every epoch, held-out "
+                         "streaming AUC. CPU backend = identical XLA "
+                         "program as TPU (PARITY.md quirk note). "
+                         "Synthetic Bayes-optimal AUC is ~0.85 "
+                         "(criteo-like) — absolute numbers are "
+                         "dataset-specific; the bar is clear lift over "
+                         "chance on every architecture family."),
+                "models": rows}, f, indent=1)
+
+
 if __name__ == "__main__":
     name = sys.argv[1]
     steps = int(sys.argv[2]) if len(sys.argv) > 2 and \
         sys.argv[2].isdigit() else 288
-    print(json.dumps(run(
-        name, steps, bf16="--fp32" not in sys.argv,
-        batch=_arg("--batch", 4096), pool=_arg("--pool", 48))),
-        flush=True)
+    tail = [a for a in sys.argv[2:] if not a.isdigit()]
+    if name == "all":
+        from deeprec_tpu.models.registry import ZOO
+        _campaign(sorted(ZOO), steps, tail)
+    elif "," in name:
+        _campaign(name.split(","), steps, tail)
+    else:
+        print(json.dumps(run(
+            name, steps, bf16="--fp32" not in sys.argv,
+            batch=_arg("--batch", 4096), pool=_arg("--pool", 48))),
+            flush=True)
