@@ -29,6 +29,10 @@ class StorageType(enum.Enum):
 
     HBM = "hbm"              # device-resident, the default
     HBM_HOST = "hbm_host"    # HBM hot shard + host-RAM spill tier
+    # Three-tier: HBM hot + host-RAM warm + disk cold (the
+    # DRAM_SSDHASH analog) — cold rows page to an append-only value
+    # log with an in-memory index (``ssd_hashkv.h`` role).
+    HBM_HOST_DISK = "hbm_host_disk"
 
 
 class CombinerType(str, enum.Enum):
@@ -111,6 +115,11 @@ class StorageOption:
     storage_type: StorageType = StorageType.HBM
     # Max rows kept in HBM when a host spill tier is configured.
     hbm_capacity: Optional[int] = None
+    # HBM_HOST_DISK: directory for the cold-tier value logs and max
+    # rows kept in host RAM before paging down (the reference's
+    # StorageConfig path/size, ``multilevel_embedding.h:23``).
+    storage_path: Optional[str] = None
+    host_capacity: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

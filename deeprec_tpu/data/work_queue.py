@@ -67,6 +67,14 @@ class WorkQueue:
             return {"pending": list(self._pending), "epoch": self._epoch,
                     "all": list(self._all)}
 
+    def restore_state(self, state: dict):
+        """In-place restore (the checkpoint-aux path: an Estimator's
+        manager calls this when a checkpoint carries queue state)."""
+        with self._lock:
+            self._all = list(state["all"])
+            self._pending = list(state["pending"])
+            self._epoch = state["epoch"]
+
     @classmethod
     def from_state(cls, state: dict, num_epochs: int = 1,
                    shuffle: bool = False, seed: int = 0) -> "WorkQueue":

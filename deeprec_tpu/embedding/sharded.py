@@ -103,8 +103,7 @@ def bag_lookup_train(
     B, L = ids_hi.shape
     n = B * L
     dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
-    K = max(8, int(-(-n * capacity_factor // S)))
-    K = -(-K // 8) * 8  # multiple of 8 for clean tiling
+    K = per_peer_slots(n, S, capacity_factor)
 
     dest, n_overflow = _route_ids(dd.uhi, dd.ulo, S, K)
     send = jnp.stack(
@@ -162,15 +161,25 @@ def combine(owner_rows, sbl_or_routing, combiner: str, *, axis_name: str):
     return lkup.combine_bags(local_rows, r.inverse, r.mask, combiner)
 
 
-def bag_lookup_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
-                     combiner=None, capacity_factor: float = 2.0):
-    """Inference path: route, lookup (no mutation), combine."""
+def per_peer_slots(n: int, num_shards: int, capacity_factor: float) -> int:
+    """K-sizing shared by every sharded exchange (train/infer/eval):
+    per-peer send-buffer slots for ``n`` local ids, rounded to a
+    multiple of 8 for clean tiling."""
+    K = max(8, int(-(-n * capacity_factor // num_shards)))
+    return -(-K // 8) * 8
+
+
+def lookup_rows_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
+                      capacity_factor: float = 2.0):
+    """Read-only sharded lookup: route ids to owner shards, gather, and
+    exchange rows back WITHOUT combining. Returns ``(local_rows [B*L,
+    dim], inverse [B, L], mask [B, L])`` so callers can slice per-column
+    views (the eval path) or combine directly (``bag_lookup_infer``).
+    Call inside shard_map over ``axis_name``."""
     S = jax.lax.axis_size(axis_name)
     B, L = ids_hi.shape
-    n = B * L
     dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
-    K = max(8, int(-(-n * capacity_factor // S)))
-    K = -(-K // 8) * 8
+    K = per_peer_slots(B * L, S, capacity_factor)
     dest, _ = _route_ids(dd.uhi, dd.ulo, S, K)
     send = jnp.stack(
         [
@@ -191,6 +200,15 @@ def bag_lookup_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
     local_rows = back[dest]
     mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
     inverse = dd.inverse.reshape(B, L)
+    return local_rows, inverse, mask
+
+
+def bag_lookup_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
+                     combiner=None, capacity_factor: float = 2.0):
+    """Inference path: route, lookup (no mutation), combine."""
+    local_rows, inverse, mask = lookup_rows_infer(
+        cfg, state, ids_hi, ids_lo, axis_name=axis_name,
+        capacity_factor=capacity_factor)
     return lkup.combine_bags(local_rows, inverse, mask,
                              combiner or cfg.combiner)
 

@@ -82,7 +82,9 @@ class EmbeddingColumn:
     capacity: int = 1 << 17
     combiner: str = "mean"
     initializer: str = "truncated_normal"
-    init_scale: float = 1.0
+    # None -> 1/sqrt(dim), the reference embedding_column default
+    # (feature_column_v2.py: truncated_normal stddev=1/sqrt(dimension)).
+    init_scale: Optional[float] = None
     ev_option: cfglib.EmbeddingVariableOption = dataclasses.field(
         default_factory=cfglib.EmbeddingVariableOption)
     shared_name: Optional[str] = None
@@ -93,9 +95,11 @@ class EmbeddingColumn:
         return self.shared_name or self.name
 
     def table_config(self) -> cfglib.TableConfig:
+        scale = (self.init_scale if self.init_scale is not None
+                 else self.dim ** -0.5)
         return cfglib.TableConfig(
             name=self.table_name, dim=self.dim, capacity=self.capacity,
-            initializer=self.initializer, init_scale=self.init_scale,
+            initializer=self.initializer, init_scale=scale,
             ev_option=self.ev_option, combiner=self.combiner,
             max_probes=self.max_probes)
 
@@ -249,6 +253,57 @@ class EmbeddingGroup:
         for k, v in batch.items():
             if not isinstance(v, SparseIds):
                 packed[k] = v
+        return packed
+
+    def transform_ids_np(self, column: "EmbeddingColumn",
+                         ids: np.ndarray):
+        """Host (numpy) mirror of :meth:`transform_ids` on raw int64
+        ids — bit-identical salting so host-packed batches equal
+        device-packed ones."""
+        hi, lo = keylib.split_ids(np.asarray(ids, np.int64))
+        salt = self._phys_of[column.table_name][1]
+        if salt == 0:
+            return hi, lo
+        salt_hi, salt_lo = salt
+        sent = (hi == keylib.EMPTY_HI) & (
+            (lo == keylib.EMPTY_LO) | (lo == keylib.TOMB_LO))
+        hi2 = np.where(sent, hi, hi ^ np.int32(salt_hi))
+        lo2 = np.where(sent, lo, lo ^ np.int32(salt_lo))
+        hit = ~sent & (hi2 == keylib.EMPTY_HI) & (
+            (lo2 == keylib.EMPTY_LO) | (lo2 == keylib.TOMB_LO))
+        return hi2, np.where(hit, lo2 ^ np.int32(2), lo2)
+
+    def pack_batch_np(self, batch):
+        """Host-side :meth:`pack_batch`: leaves are raw numpy int64 id
+        matrices (sparse columns) / numpy arrays (everything else).
+        Salting + concatenation run on host; each physical table costs
+        exactly two H2D transfers — the production input-pipeline path
+        (SURVEY §7.6: id handling/CSR-ification on host)."""
+        packed: Dict[str, Any] = {}
+        by_table: Dict[str, list] = {}
+        for c in self.embedding:
+            by_table.setdefault(self.physical_table_of(c), []).append(c)
+        widths: Dict[str, list] = {}
+        for tname, tcols in by_table.items():
+            his, los, ws = [], [], []
+            for c in tcols:
+                ids = np.asarray(batch[c.name], np.int64)
+                if ids.ndim == 1:
+                    ids = ids[:, None]
+                hi, lo = self.transform_ids_np(c, ids)
+                his.append(hi)
+                los.append(lo)
+                ws.append(int(ids.shape[1]))
+            packed[self.PACKED_PREFIX + tname] = SparseIds(
+                jnp.asarray(np.concatenate(his, axis=1)),
+                jnp.asarray(np.concatenate(los, axis=1)))
+            widths[tname] = ws
+        if getattr(self, "_pack_widths", None) is None:
+            self._pack_widths = widths
+        emb_names = {c.name for c in self.embedding}
+        for k, v in batch.items():
+            if k not in emb_names:
+                packed[k] = jnp.asarray(v)
         return packed
 
     def _packed_view(self, batch, tname, tcols):
@@ -425,6 +480,20 @@ class EmbeddingGroup:
             else:
                 out[tname] = ev.shrink(cfg, states[tname], global_step)
         return out
+
+    def overflow_total(self, gl: GroupLookup):
+        """Ids dropped this step by the sharded exchange's capacity
+        factor (0 when unsharded). Dropped ids read zeros and receive no
+        update — surfacing the count in train metrics is the
+        observability half of SURVEY's "skewed all-to-all" hard part.
+        """
+        tot = jnp.int32(0)
+        seen = set()
+        for cl in gl.columns.values():
+            if cl.routing is not None and cl.table_name not in seen:
+                seen.add(cl.table_name)
+                tot = tot + cl.routing.n_overflow
+        return tot
 
     def numeric_features(self, batch):
         """Stack numeric columns -> [B, sum(shapes)] float32."""

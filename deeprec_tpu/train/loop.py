@@ -149,7 +149,10 @@ def make_train_step(
             sparse_opt, ts.slots, states, gl, grows, gs)
         new_ts = TrainState(params=params, dense_opt=dopt, ev=states,
                             slots=slots, step=gs + 1)
-        metrics = {"loss": loss}
+        overflow = group.overflow_total(gl)
+        if axis is not None:
+            overflow = jax.lax.psum(overflow, axis)
+        metrics = {"loss": loss, "n_overflow": overflow}
         return new_ts, metrics
 
     if mesh is None:
@@ -165,7 +168,7 @@ def make_train_step(
         return jax.shard_map(
             _step, mesh=mesh,
             in_specs=(specs, batch_specs),
-            out_specs=(specs, {"loss": P()}),
+            out_specs=(specs, {"loss": P(), "n_overflow": P()}),
         )(ts, batch)
 
     if not jit_compile:
@@ -243,27 +246,11 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
                 state = ts.ev[tname]
             B, L = ids_hi.shape
             if axis is not None:
-                dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
-                S = jax.lax.axis_size(axis)
-                n = B * L
-                K = max(8, int(-(-n * group.capacity_factor // S)))
-                K = -(-K // 8) * 8
-                dest, _ = shlib._route_ids(dd.uhi, dd.ulo, S, K)
-                send = jnp.stack(
-                    [shlib._fill_send(dest, dd.uhi, keylib.EMPTY_HI, S, K),
-                     shlib._fill_send(dest, dd.ulo, keylib.EMPTY_LO, S, K)],
-                    axis=-1).reshape(S, K, 2)
-                recv = jax.lax.all_to_all(send, axis, split_axis=0,
-                                          concat_axis=0, tiled=True)
-                rows = ev.lookup(cfg, state, recv[..., 0].reshape(-1),
-                                 recv[..., 1].reshape(-1))
-                back = jax.lax.all_to_all(
-                    rows.reshape(S, K, -1), axis, split_axis=0,
-                    concat_axis=0, tiled=True).reshape(S * K, -1)
-                back = jnp.concatenate(
-                    [back, jnp.zeros((1, back.shape[1]), back.dtype)], 0)
-                local_rows = back[dest]
-                inverse = dd.inverse.reshape(B, L)
+                # Shared sharded read path (the bag_lookup_infer core) —
+                # returns per-unique rows + inverse for column slicing.
+                local_rows, inverse, _ = shlib.lookup_rows_infer(
+                    cfg, state, ids_hi, ids_lo, axis_name=axis,
+                    capacity_factor=group.capacity_factor)
             else:
                 local_rows = ev.lookup(cfg, state, ids_hi.reshape(-1),
                                        ids_lo.reshape(-1))

@@ -215,3 +215,34 @@ def test_member_salts_collision_free_for_dense_vocabs():
         assert len(ks) == ids.size          # transform is injective
         assert not (ks & seen)              # and cross-member disjoint
         seen |= ks
+
+
+def test_pack_batch_np_matches_device_pack():
+    """Host-side packing (numpy salting + concat) must produce the
+    exact same packed SparseIds as the device pack_batch path."""
+    n = 3
+    rng = np.random.default_rng(9)
+    group = EmbeddingGroup(_cols(n), coalesce=True)
+    group_np = EmbeddingGroup(_cols(n), coalesce=True)
+
+    raw_np = {}
+    dev_b = {}
+    for i in range(n):
+        ids = rng.integers(0, 1 << 45, size=(8, 2)).astype(np.int64)
+        raw_np[f"c{i}"] = ids
+        dev_b[f"c{i}"] = SparseIds.from_numpy(ids)
+    raw_np["label"] = np.ones(8, np.float32)
+    dev_b["label"] = jnp.ones(8, jnp.float32)
+
+    want = group.pack_batch(dev_b)
+    got = group_np.pack_batch_np(raw_np)
+    assert set(want) == set(got)
+    for k in want:
+        if isinstance(want[k], SparseIds):
+            np.testing.assert_array_equal(np.asarray(want[k].hi),
+                                          np.asarray(got[k].hi), k)
+            np.testing.assert_array_equal(np.asarray(want[k].lo),
+                                          np.asarray(got[k].lo), k)
+        else:
+            np.testing.assert_array_equal(np.asarray(want[k]),
+                                          np.asarray(got[k]))

