@@ -6,12 +6,20 @@ config.yaml``: throughput measured between steps 100 and 110, samples/s
 22,788.93 samples/s FP32+BF16 on an 8-vCPU Xeon PS-style host
 (``modelzoo/WDL/README.md:182-215``; BASELINE.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline model uses the REFERENCE WDL shapes — per-column embedding
+dims 64/128 and per-column hash buckets 2.5k..300k
+(``modelzoo/WDL/train.py:40-96``) — so ``vs_baseline`` compares equal
+models.  Prints exactly one JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
+
+Supplementary rows (small-dim variant, end-to-end disk→parse→pack→
+device run, MFU/roofline) are written to BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -19,48 +27,194 @@ import jax
 BASELINE_WDL = 22788.93  # DeepRec FP32+BF16, modelzoo/WDL/README.md
 BATCH = 16384  # saturates the chip; 4096 is dispatch-latency-bound
 WARMUP_STEPS = 100
-MEASURE_STEPS = 10
+MEASURE_STEPS = 50  # short windows overestimate through the tunnel's dispatch slack
 
 
-def main():
+def _build_wdl(reference_shapes: bool):
     import jax.numpy as jnp
+    import optax
 
-    from __graft_entry__ import _build
+    from deeprec_tpu.data.criteo import (CRITEO_HASH_BUCKETS,
+                                         SyntheticCriteo)
+    from deeprec_tpu.feature_column.feature_column import EmbeddingGroup
     from deeprec_tpu.models import wdl
+    from deeprec_tpu.optimizers import sparse as sopt
     from deeprec_tpu.train import loop as trainlib
+    from deeprec_tpu.train import losses
 
-    group, model, data, ts, afn, loss_fn, opt, tx, _ = _build(
-        BATCH, capacity=1 << 20, dim=16, hidden=(1024, 512, 256),
-        vocab=200_000)
+    cols = wdl.criteo_columns(embedding_dim=16, capacity=1 << 20,
+                              reference_shapes=reference_shapes)
+    group = EmbeddingGroup(cols, coalesce=True)
     # BF16 compute mode — the reference's headline WDL row is FP32+BF16
     # (fp32 params, bf16 activations; docs/BFloat16.md).
     model = wdl.WDL(hidden=(1024, 512, 256), dtype=jnp.bfloat16)
+    data = SyntheticCriteo(batch_size=BATCH,
+                           vocab=(CRITEO_HASH_BUCKETS
+                                  if reference_shapes else 200_000),
+                           seed=0)
+    b0 = group.pack_batch(data.next_batch())
+
+    @jax.jit
+    def _init(states, b, key):
+        _, gl = group.lookup_train(states, b, 0)
+        embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+        return model.init(key, embs, group.numeric_features(b))["params"]
+
+    params = _init(group.create_state(), b0, jax.random.key(0))
+    opt = sopt.SparseAdagrad(learning_rate=0.05)
+    tx = optax.adagrad(0.05)
+    ts = trainlib.create_train_state(group, params, tx, opt)
     afn = wdl.apply_fn(model, group)
+    loss_fn = lambda out, b: losses.bce_with_logits(out, b["label"])  # noqa: E731
     step = trainlib.make_train_step(group, afn, loss_fn, opt, tx)
+    return group, data, ts, step, b0
 
-    # Pre-generate host batches so the measurement isolates framework +
-    # device throughput (the reference harness likewise reads from a
-    # pre-staged local dataset). pack_batch collapses the per-column
-    # pytree to a few leaves — dispatch cost matters on a 1-core host.
+
+def _roofline_fields(compiled, dt_per_step):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from model_benchmark import roofline
+    return roofline({}, compiled, dt_per_step)
+
+
+def bench_device(reference_shapes: bool) -> dict:
+    """Device+dispatch throughput on pre-packed batches (the reference
+    harness likewise reads from a pre-staged local dataset)."""
+    group, data, ts, step, b0 = _build_wdl(reference_shapes)
+    compiled = step.lower(ts, b0).compile()
     batches = [group.pack_batch(data.next_batch()) for _ in range(8)]
-
     for i in range(WARMUP_STEPS):
         ts, m = step(ts, batches[i % len(batches)])
-    jax.block_until_ready(m["loss"])
-
+    jax.block_until_ready((ts, m))
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         ts, m = step(ts, batches[i % len(batches)])
+    # Block on the WHOLE final state: the loss buffer completes before
+    # the optimizer updates, and timing only it undercounts the last
+    # step's tail (it produced mfu > 1 against chip peak).
+    jax.block_until_ready((ts, m))
+    dt = time.perf_counter() - t0
+    sps = BATCH * MEASURE_STEPS / dt
+    out = {
+        "metric": ("wdl_criteo_samples_per_sec" if reference_shapes
+                   else "wdl_dim16_samples_per_sec"),
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_WDL, 3),
+        "model": ("reference shapes: dims 64/128, buckets "
+                  "modelzoo/WDL/train.py:40-96" if reference_shapes
+                  else "uniform dim 16"),
+        "batch": BATCH,
+    }
+    out.update(_roofline_fields(compiled, dt / MEASURE_STEPS))
+    return out
+
+
+def _write_tsv(path: str, n_rows: int, data) -> None:
+    """Synthetic Criteo-format TSV (label \\t 13 ints \\t 26 hex)."""
+    import numpy as np
+    with open(path, "w") as f:
+        remaining = n_rows
+        while remaining > 0:
+            B = min(remaining, 65536)
+            ints, cats = data._draw(B)
+            p = 1.0 / (1.0 + np.exp(-data.logits(ints, cats)))
+            labels = (np.random.default_rng(remaining).random(B) < p
+                      ).astype(np.int32)
+            iv = np.char.mod("%d", (ints * 10).astype(np.int64))
+            cv = np.char.mod("%x", cats)
+            rows = np.concatenate(
+                [labels.astype(str)[:, None], iv, cv], axis=1)
+            f.write("\n".join("\t".join(r) for r in rows) + "\n")
+            remaining -= B
+
+
+def bench_e2e(n_rows: int = 600_000) -> dict:
+    """End-to-end: disk TSV -> native fused parse -> host pack (salts +
+    concat in numpy) -> H2D -> train step, with the parse/pack stage on
+    a prefetch thread (the Stage/SmartStage role). Measures the full
+    input pipeline the device-only row excludes."""
+    from deeprec_tpu.data.criteo import (SyntheticCriteo,
+                                         criteo_file_batches)
+    from deeprec_tpu.data.prefetch import PrefetchIterator
+
+    group, data, ts, step, b0 = _build_wdl(reference_shapes=True)
+    tsv = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                       "deeprec_bench_criteo.tsv")
+    gen = SyntheticCriteo(batch_size=BATCH, vocab=200_000, seed=7)
+    if not os.path.exists(tsv) or os.path.getsize(tsv) < n_rows * 50:
+        _write_tsv(tsv, n_rows, gen)
+
+    def batches():
+        for b in criteo_file_batches(tsv, BATCH, as_numpy=True):
+            if b["label"].shape[0] == BATCH:
+                yield group.pack_batch_np(b)
+
+    # Warm compile on one batch first.
+    it = PrefetchIterator(batches, buffer_size=4)
+    first = next(iter(it))
+    ts2, m = step(ts, first)
+    jax.block_until_ready(m["loss"])
+
+    n_steps = 0
+    t0 = time.perf_counter()
+    for b in it:
+        ts2, m = step(ts2, b)
+        n_steps += 1
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
-
-    samples_per_sec = BATCH * MEASURE_STEPS / dt
-    print(json.dumps({
-        "metric": "wdl_criteo_samples_per_sec",
-        "value": round(samples_per_sec, 2),
+    sps = BATCH * n_steps / dt
+    return {
+        "metric": "wdl_e2e_pipeline_samples_per_sec",
+        "value": round(sps, 2),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / BASELINE_WDL, 3),
-    }))
+        "vs_baseline": round(sps / BASELINE_WDL, 3),
+        "note": ("disk->native parse->host pack->device, prefetch "
+                 "thread overlapping the device step; reference-shaped "
+                 "WDL"),
+        "batch": BATCH, "steps": n_steps,
+    }
+
+
+ROWS = {
+    "headline": lambda: bench_device(reference_shapes=True),
+    "dim16": lambda: bench_device(reference_shapes=False),
+    "e2e": bench_e2e,
+}
+
+
+def main():
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 1:  # child: one row per process
+        out = ROWS[sys.argv[1]]()
+        out["device_kind"] = jax.devices()[0].device_kind
+        print(json.dumps(out), flush=True)
+        return
+
+    # One subprocess per row: several multi-GB models in one process
+    # push the backend into silent host-spill mode, and the tunneled
+    # device is single-tenant — rows must run strictly sequentially.
+    rows = []
+    for row in ROWS:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            row], capture_output=True, text=True,
+                           timeout=3000)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        rows.append(json.loads(lines[-1]) if lines else {
+            "row": row,
+            "error": (r.stderr.strip() or "no output")[-400:]})
+    headline = rows[0]
+    if "value" in headline:
+        print(json.dumps({k: headline[k] for k in
+                          ("metric", "value", "unit", "vs_baseline")}))
+    else:
+        print(json.dumps(headline))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump({"rows": rows}, f, indent=1)
 
 
 if __name__ == "__main__":
