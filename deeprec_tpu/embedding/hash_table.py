@@ -64,8 +64,8 @@ def create(capacity: int) -> HashTable:
 def _scan(key_hi, key_lo, qhi, qlo, buckets, max_probes: int):
     """One vectorized probe scan.
 
-    Returns (found, found_slot, has_reuse, reuse_slot), each [n].
-    Slots equal to ``capacity`` mean "none".
+    Returns (found, found_slot, has_reuse, reuse_slot, saw_empty),
+    each [n].  Slots equal to ``capacity`` mean "none".
     """
     capacity = key_hi.shape[0]
     offs = jnp.arange(max_probes, dtype=jnp.int32)
@@ -93,7 +93,44 @@ def _scan(key_hi, key_lo, qhi, qlo, buckets, max_probes: int):
         jnp.take_along_axis(pos, reuse_off[:, None], axis=1)[:, 0],
         capacity,
     )
-    return found, found_slot, has_reuse, reuse_slot
+    return found, found_slot, has_reuse, reuse_slot, jnp.any(empty, 1)
+
+
+FAST_PROBES = 8
+
+# Two-level probing (the TPU-critical optimization of this module):
+# the [n, max_probes] key gather is THE dominant cost of the embedding
+# path — XLA gathers run at ~100-200M indexed elements/s on v5e
+# (sync-measured), so a 64-wide scan of a 426k-id batch costs ~500 ms
+# while an 8-wide one costs ~70 ms. At realistic load factors nearly
+# every id resolves within the first few probes, so both find and
+# find_or_insert scan 8-wide first and fall back to the full width
+# inside a ``lax.while_loop`` whose trip count is data-dependent —
+# real control flow that costs nothing when nothing is pending
+# (``lax.cond`` does NOT work here: XLA flattens it to executing both
+# branches).
+#
+# Correctness of the fast pass rests on prefix properties:
+#   * a match in the fast window is THE slot;
+#   * an EMPTY in the fast window proves the key is not beyond it
+#     (slots fill monotonically: an EMPTY at probe k today was EMPTY
+#     at every earlier insert, so the key — and any insert — lives at
+#     or before the first EMPTY);
+#   * hence fast-pass CLAIMS are gated on ``saw_empty``: a tombstone
+#     alone is no absence proof (the key may sit beyond it, inserted
+#     before the eviction) and claiming it would duplicate the key and
+#     orphan its trained row.
+
+
+def _straggler_budget(n: int) -> int:
+    """Fixed size of the compacted wide-scan buffer: generous for the
+    displacement tail at sane load factors, tiny next to n."""
+    return int(min(n, max(1024, n // 8)))
+
+
+def _compact(mask, n: int, M: int):
+    """Indices of up to M set positions (padding = n)."""
+    return jnp.nonzero(mask, size=M, fill_value=n)[0].astype(jnp.int32)
 
 
 def find(table: HashTable, qhi, qlo, max_probes: int = 64):
@@ -103,11 +140,30 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64):
     ``capacity``.
     """
     capacity = table.capacity
+    n = qhi.shape[0]
     buckets = keylib.bucket_of(qhi, qlo, capacity)
-    found, found_slot, _, _ = _scan(
-        table.key_hi, table.key_lo, qhi, qlo, buckets, max_probes)
     is_sentinel = qhi == keylib.EMPTY_HI
-    return jnp.where(found & ~is_sentinel, found_slot, capacity)
+    found, found_slot, _, _, saw_empty = _scan(
+        table.key_hi, table.key_lo, qhi, qlo, buckets,
+        min(FAST_PROBES, max_probes))
+    slots = jnp.where(found & ~is_sentinel, found_slot, capacity)
+    if max_probes <= FAST_PROBES:
+        return slots
+    # Stragglers (not found, no EMPTY proof in the fast window) rescan
+    # at full width over a COMPACTED fixed-size buffer — [M, W] instead
+    # of [n, W], so the wide gather stays ~n/8 of the fast one even
+    # when a handful of long probe chains exist in every batch.
+    unresolved = ~is_sentinel & ~found & ~saw_empty
+    M = _straggler_budget(n)
+    idx = _compact(unresolved, n, M)
+    pad = idx >= n
+    safe = jnp.minimum(idx, n - 1)
+    f2, fs2, _, _, _ = _scan(
+        table.key_hi, table.key_lo,
+        jnp.where(pad, keylib.EMPTY_HI, qhi[safe]),
+        jnp.where(pad, keylib.EMPTY_LO, qlo[safe]),
+        jnp.where(pad, 0, buckets[safe]), max_probes)
+    return slots.at[idx].set(jnp.where(f2, fs2, capacity), mode="drop")
 
 
 def find_or_insert(
@@ -139,14 +195,18 @@ def find_or_insert(
     is_sentinel = qhi == keylib.EMPTY_HI
     want_insert = jnp.asarray(insert_mask, jnp.bool_) & ~is_sentinel
 
-    def cond(state):
-        r, _, _, _, _, pending = state
-        return (r < max_rounds) & jnp.any(pending)
+    def round_fn(state, probes: int, need_empty_proof: bool):
+        """One scan + claim round at the given probe width.
 
-    def body(state):
+        ``need_empty_proof``: fast-pass claims must have seen an EMPTY
+        in their window (prefix absence proof — see module comment);
+        full-width rounds claim on any reusable slot, matching the
+        original semantics (the full window always contains the match
+        if one exists).
+        """
         r, key_hi, key_lo, slots, is_new, pending = state
-        found, found_slot, has_reuse, reuse_slot = _scan(
-            key_hi, key_lo, qhi, qlo, buckets, max_probes)
+        found, found_slot, has_reuse, reuse_slot, saw_empty = _scan(
+            key_hi, key_lo, qhi, qlo, buckets, probes)
         # Resolve finds (lookup-only ids and insert ids alike).
         hit = pending & found
         slots = jnp.where(hit, found_slot, slots)
@@ -154,6 +214,8 @@ def find_or_insert(
         # Claim: lowest batch index wins each proposed slot. Only ids
         # with insert_mask may claim.
         want = pending & has_reuse & want_insert
+        if need_empty_proof:
+            want = want & saw_empty
         prop = jnp.where(want, reuse_slot, capacity)
         claim = jnp.full((capacity + 1,), n, dtype=jnp.int32)
         claim = claim.at[prop].min(jnp.where(want, tokens, n))
@@ -164,20 +226,7 @@ def find_or_insert(
         slots = jnp.where(won, prop, slots)
         is_new = is_new | won
         pending = pending & ~won
-        return (r + 1, key_hi, key_lo, slots, is_new, pending)
-
-    # Ids we are not inserting still need one scan; fold them into the
-    # loop by starting everyone pending, but only insert-masked ids may
-    # claim. Non-insert ids leave the loop pending=False after round 0
-    # (they either found a slot or give up immediately).
-    init_pending = ~is_sentinel
-
-    def body_wrap(state):
-        r, key_hi, key_lo, slots, is_new, pending = body(state)
-        # Non-insert ids never claim; drop them from pending after the
-        # first scan so the loop terminates.
-        pending = pending & want_insert
-        return (r, key_hi, key_lo, slots, is_new, pending)
+        return (r + 1, key_hi, key_lo, slots, is_new, pending), saw_empty
 
     # Derive initial carries from the (possibly axis-varying) queries so
     # their vma tags match the loop outputs under shard_map.
@@ -187,10 +236,65 @@ def find_or_insert(
         table.key_lo,
         jnp.full((n,), capacity, dtype=jnp.int32) + (qhi & 0),
         jnp.zeros((n,), dtype=jnp.bool_) | (qhi != qhi),
-        init_pending,
+        ~is_sentinel,
     )
+
+    # Fast pass: one narrow round resolves nearly everything in steady
+    # state; the full-width while_loop below then runs ZERO iterations
+    # (data-dependent trip count — the wide [n, max_probes] gather is
+    # never executed).
+    fastw = min(FAST_PROBES, max_probes)
+    state, saw_empty = round_fn(state, fastw, need_empty_proof=True)
+    r, key_hi, key_lo, slots, is_new, pending = state
+    # Non-insert ids whose fast window proved absence are done; ids
+    # without proof (or unclaimed inserts) go to the full-width loop.
+    pending = pending & (want_insert | ~saw_empty)
+    state = (r, key_hi, key_lo, slots, is_new, pending)
+
+    def cond(state):
+        r, _, _, _, _, pending = state
+        return (r < max_rounds) & jnp.any(pending)
+
+    M = _straggler_budget(n)
+
+    def body(state):
+        """Full-width round over a COMPACTED pending subset: [M, W]
+        instead of [n, W], so straggler rounds cost ~n/8 of a full
+        scan. Rounds drain up to M pending ids each; leftovers (beyond
+        the buffer, or claim-conflict losers) go to the next round."""
+        r, key_hi, key_lo, slots, is_new, pending = state
+        idx = _compact(pending, n, M)
+        pad = idx >= n
+        safe = jnp.minimum(idx, n - 1)
+        q2h = jnp.where(pad, keylib.EMPTY_HI, qhi[safe])
+        q2l = jnp.where(pad, keylib.EMPTY_LO, qlo[safe])
+        found, found_slot, has_reuse, reuse_slot, _ = _scan(
+            key_hi, key_lo, q2h, q2l,
+            jnp.where(pad, 0, buckets[safe]), max_probes)
+        real2 = ~pad
+        hit = real2 & found
+        slots = slots.at[jnp.where(hit, idx, n)].set(
+            found_slot, mode="drop")
+        # Claim: lowest ORIGINAL index wins each proposed slot.
+        want2 = real2 & ~found & has_reuse & want_insert[safe]
+        prop = jnp.where(want2, reuse_slot, capacity)
+        claim = jnp.full((capacity + 1,), n, dtype=jnp.int32)
+        claim = claim.at[prop].min(jnp.where(want2, idx, n))
+        won = want2 & (claim[prop] == idx)
+        widx = jnp.where(won, prop, capacity)  # capacity OOB => drop
+        key_hi = key_hi.at[widx].set(q2h, mode="drop")
+        key_lo = key_lo.at[widx].set(q2l, mode="drop")
+        slots = slots.at[jnp.where(won, idx, n)].set(prop, mode="drop")
+        is_new = is_new.at[jnp.where(won, idx, n)].set(True, mode="drop")
+        # Done after this round: found, claim winners, and non-insert
+        # ids (a full-width scan without a match concludes absence).
+        done = hit | won | (real2 & ~found & ~want_insert[safe])
+        pending = pending.at[jnp.where(done, idx, n)].set(
+            False, mode="drop")
+        return (r + 1, key_hi, key_lo, slots, is_new, pending)
+
     _, key_hi, key_lo, slots, is_new, _ = jax.lax.while_loop(
-        cond, body_wrap, state)
+        cond, body, state)
     return HashTable(key_hi=key_hi, key_lo=key_lo), slots, is_new
 
 

@@ -22,10 +22,13 @@ NUM_CAT = 26
 
 def criteo_columns(embedding_dim: int = 16, capacity: int = 1 << 16,
                    ev_option: cfglib.EmbeddingVariableOption | None = None,
-                   reference_shapes: bool = False):
+                   reference_shapes: bool = False,
+                   wide_in_deep: bool = False):
     """``reference_shapes``: dim 16 with per-column capacities from the
     reference bucket table (``modelzoo/DeepFM/train.py:334-353``);
-    ``capacity`` is then a ceiling."""
+    ``capacity`` is then a ceiling. ``wide_in_deep``: first-order
+    weights ride channel 0 of the FM tables (same ids -> half the
+    indexed traffic; see wdl.criteo_columns)."""
     from deeprec_tpu.data import criteo as criteo_data
     ev_option = ev_option or cfglib.EmbeddingVariableOption()
     cols = [NumericColumn(f"I{i}") for i in range(1, NUM_INT + 1)]
@@ -33,6 +36,11 @@ def criteo_columns(embedding_dim: int = 16, capacity: int = 1 << 16,
         cap = (criteo_data.capacity_for(
             criteo_data.CRITEO_HASH_BUCKETS[i - 1], ceiling=capacity)
             if reference_shapes else capacity)
+        if wide_in_deep:
+            cols.append(EmbeddingColumn(
+                name=f"C{i}", dim=embedding_dim + 1, capacity=cap,
+                combiner="mean", ev_option=ev_option))
+            continue
         cols.append(EmbeddingColumn(
             name=f"C{i}", dim=embedding_dim, capacity=cap,
             combiner="mean", ev_option=ev_option))
@@ -51,6 +59,10 @@ class DeepFM(nn.Module):
         field = [v for k, v in sorted(embs.items())
                  if not k.endswith("_wide")]
         linear = [v for k, v in sorted(embs.items()) if k.endswith("_wide")]
+        if not linear:
+            # wide_in_deep layout: channel 0 is the first-order weight.
+            linear = [v[:, :1] for v in field]
+            field = [v[:, 1:] for v in field]
         fe = jnp.stack(field, axis=1)                       # [B, F, D]
         fm = fm_interaction(fe)                              # [B, D]
         first_order = jnp.sum(jnp.concatenate(linear, axis=1), axis=1)

@@ -28,6 +28,7 @@ def criteo_columns(
     ev_option: cfglib.EmbeddingVariableOption | None = None,
     combiner: str = "mean",
     reference_shapes: bool = False,
+    wide_in_deep: bool = False,
 ):
     """Criteo-Kaggle column set: I1..I13 numeric, C1..C26 categorical,
     each with a deep embedding and a wide (dim-1) embedding.
@@ -36,6 +37,16 @@ def criteo_columns(
     capacities sized from the reference bucket counts
     (``modelzoo/WDL/train.py:40-96``); ``capacity`` then acts as a
     per-column ceiling.
+
+    ``wide_in_deep``: store each field's wide (linear) weight as
+    channel 0 of its deep table (dim+1) instead of a separate dim-1
+    table — the model slices it back out. Wide and deep lookups hit
+    the SAME ids, so this halves the step's indexed-memory traffic
+    (the TPU bottleneck; see ``embedding/hash_table.py``). Exact for
+    single-valued fields like Criteo's (combiner is irrelevant at
+    L=1); for multi-valued bags the wide channel combines with the
+    deep combiner instead of the reference's ``sum``. The wide channel
+    is initialized like the deep ones (not zeros).
     """
     from deeprec_tpu.data import criteo as criteo_data
     ev_option = ev_option or cfglib.EmbeddingVariableOption()
@@ -47,6 +58,11 @@ def criteo_columns(
                 criteo_data.CRITEO_HASH_BUCKETS[i - 1], ceiling=capacity)
         else:
             dim, cap = embedding_dim, capacity
+        if wide_in_deep:
+            cols.append(EmbeddingColumn(
+                name=f"C{i}", dim=dim + 1, capacity=cap,
+                combiner=combiner, ev_option=ev_option))
+            continue
         cols.append(EmbeddingColumn(
             name=f"C{i}", dim=dim, capacity=cap,
             combiner=combiner, ev_option=ev_option))
@@ -67,6 +83,11 @@ class WDL(nn.Module):
         wide = [v for k, v in sorted(embs.items()) if k.endswith("_wide")]
         deep = [v for k, v in sorted(embs.items())
                 if not k.endswith("_wide")]
+        if not wide:
+            # wide_in_deep layout: channel 0 of each deep embedding is
+            # the field's wide weight.
+            wide = [v[:, :1] for v in deep]
+            deep = [v[:, 1:] for v in deep]
         wide_logit = jnp.sum(jnp.concatenate(wide, axis=1), axis=1)
         x = jnp.concatenate(deep + ([numeric] if numeric is not None else []),
                             axis=1)

@@ -6,14 +6,13 @@ values) plus index plumbing for each.  This kernel makes it one pass:
 for each touched row, DMA the value row and slot row HBM→VMEM once,
 compute the update on the VPU, and DMA both back.
 
-Measured on TPU v5e (tools/kernel_benchmark.py, 65k rows x dim 128):
-Adagrad ~0.95x the XLA lowering, 3-slot Adam ~0.44x. Conclusion: XLA's
-native sparse gather/scatter pipeline on v5e is at or near memory
-bound for random per-row access, and per-row DMA (512 B transfers)
-cannot beat it — so the production optimizers keep the XLA lowering
-(optimizers/sparse.py) and these kernels are retained as the measured
-baseline for future hardware / larger-row experiments, not wired into
-the default path.
+SYNC-measured on TPU v5e (round 2, honest D2H-fenced timing — round
+1's numbers were dispatch-rate artifacts): 426k rows × dim 128 Adagrad
+= ~85 ms Pallas vs ~78 ms XLA. Both are bound by per-row HBM
+transaction + issue cost (~190 ns/row), so the production optimizers
+keep the XLA lowering (optimizers/sparse.py) and these kernels stand
+as the measured DMA baseline for future hardware / coalescing
+experiments.
 
 Key layout decisions:
   * The tables stay **unpadded and uncopied**: [C+1, D] arrays live in
@@ -21,10 +20,9 @@ Key layout decisions:
     Row C is the table's existing overflow-sentinel row ("never read,
     safe scatter target" — see ``EVState``), so dropped/overflow slots
     are redirected there instead of needing an extra padded row.
-  * Only the VMEM scratch rows are lane-padded (to 128); the DMA moves
-    exactly ``D`` floats per row (``vrow.at[0, :D]``).
-  * ``slots`` are scalar-prefetched so the per-row DMA addresses are
-    known ahead of the grid step.
+  * ``slots`` ride SMEM as per-tile [8, 128] blocks — scalar-
+    prefetching the whole array overflows SMEM past ~65k ids (the
+    round-1 version only ever ran at test sizes).
 
 Requirement: ``slots`` must be unique among in-range entries (the
 deduped-id contract every sparse optimizer here already has) — tiles
@@ -44,40 +42,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS_PER_TILE = 8
+ROWS_PER_TILE = 1024  # rows per grid step; slots ride SMEM as [8, 128]
+                      # (SMEM blocks need sublane multiples of 8)
 
 
 def _make_kernel(D: int):
     R = ROWS_PER_TILE
 
-    def kernel(slots_ref,            # scalar-prefetch: [n_pad] int32
-               lr_ref,               # scalar-prefetch: [1] float32
+    def kernel(lr_ref,               # scalar-prefetch: [1] float32
                values_hbm,           # [C+1, D] float32 (ANY/HBM)
                accum_hbm,            # [C+1, D] float32
                grads_ref,            # [R, D] VMEM tile
+               slots_ref,            # [R//128, 128] int32 SMEM tile
                values_out,           # aliased [C+1, D]
                accum_out,            # aliased [C+1, D]
-               vtile, atile, sem):   # scratch [R, D] x2, DMA sems [2, R]
-        t = pl.program_id(0)
-        base = t * R
+               vtile, atile, sem):   # scratch [R, D] x2, DMA sems [2]
+        def get_slot(i):
+            return slots_ref[i // 128, i % 128]
 
-        # Issue all 2R input DMAs, then wait — R-wide latency
-        # amortization instead of a serial per-row round trip.
-        def start_in(i, carry):
-            slot = slots_ref[base + i]
+        # Batch-issue all 2R input DMAs on two shared semaphores, then
+        # drain — the DMA engines overlap the whole tile's row fetches.
+        def start_in(i, c):
+            slot = get_slot(i)
             pltpu.make_async_copy(values_hbm.at[slot], vtile.at[i],
-                                  sem.at[0, i]).start()
+                                  sem.at[0]).start()
             pltpu.make_async_copy(accum_hbm.at[slot], atile.at[i],
-                                  sem.at[1, i]).start()
-            return carry
+                                  sem.at[1]).start()
+            return c
 
-        def wait_in(i, carry):
-            slot = slots_ref[base + i]
+        def wait_in(i, c):
+            slot = get_slot(i)
             pltpu.make_async_copy(values_hbm.at[slot], vtile.at[i],
-                                  sem.at[0, i]).wait()
+                                  sem.at[0]).wait()
             pltpu.make_async_copy(accum_hbm.at[slot], atile.at[i],
-                                  sem.at[1, i]).wait()
-            return carry
+                                  sem.at[1]).wait()
+            return c
 
         jax.lax.fori_loop(0, R, start_in, 0)
         jax.lax.fori_loop(0, R, wait_in, 0)
@@ -88,21 +87,21 @@ def _make_kernel(D: int):
         atile[:] = acc
         vtile[:] = vtile[:] - lr_ref[0] * g * jax.lax.rsqrt(acc)
 
-        def start_out(i, carry):
-            slot = slots_ref[base + i]
+        def start_out(i, c):
+            slot = get_slot(i)
             pltpu.make_async_copy(vtile.at[i], values_out.at[slot],
-                                  sem.at[0, i]).start()
+                                  sem.at[0]).start()
             pltpu.make_async_copy(atile.at[i], accum_out.at[slot],
-                                  sem.at[1, i]).start()
-            return carry
+                                  sem.at[1]).start()
+            return c
 
-        def wait_out(i, carry):
-            slot = slots_ref[base + i]
+        def wait_out(i, c):
+            slot = get_slot(i)
             pltpu.make_async_copy(vtile.at[i], values_out.at[slot],
-                                  sem.at[0, i]).wait()
+                                  sem.at[0]).wait()
             pltpu.make_async_copy(atile.at[i], accum_out.at[slot],
-                                  sem.at[1, i]).wait()
-            return carry
+                                  sem.at[1]).wait()
+            return c
 
         jax.lax.fori_loop(0, R, start_out, 0)
         jax.lax.fori_loop(0, R, wait_out, 0)
@@ -135,14 +134,17 @@ def adagrad_apply_rows(values, accum, slots, grads, lr,
         jnp.where(slots < C1 - 1, slots, C1 - 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_pad // ROWS_PER_TILE,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # values (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # accum (HBM)
             pl.BlockSpec((ROWS_PER_TILE, D),
-                         lambda t, s, l: (t, 0),
+                         lambda t, l: (t, 0),
                          memory_space=pltpu.VMEM),  # grads tile
+            pl.BlockSpec((ROWS_PER_TILE // 128, 128),
+                         lambda t, l: (t, 0),
+                         memory_space=pltpu.SMEM),  # slots tile
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -153,7 +155,7 @@ def adagrad_apply_rows(values, accum, slots, grads, lr,
             # interpreter accepts any lane width.
             pltpu.VMEM((ROWS_PER_TILE, D), jnp.float32),
             pltpu.VMEM((ROWS_PER_TILE, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, ROWS_PER_TILE)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     vout, aout = pl.pallas_call(
@@ -161,9 +163,10 @@ def adagrad_apply_rows(values, accum, slots, grads, lr,
         out_shape=[jax.ShapeDtypeStruct(values.shape, values.dtype),
                    jax.ShapeDtypeStruct(accum.shape, accum.dtype)],
         grid_spec=grid_spec,
-        input_output_aliases={2: 0, 3: 1},  # +2 scalar-prefetch offset
+        input_output_aliases={1: 0, 2: 1},  # +1 scalar-prefetch offset
         interpret=interpret,
-    )(sp, jnp.asarray([lr], jnp.float32), values, accum, gp)
+    )(jnp.asarray([lr], jnp.float32), values, accum, gp,
+      sp.reshape(-1, 128))
     return vout, aout
 
 
@@ -181,15 +184,13 @@ def supports_dim(D: int) -> bool:
 def _make_adam_kernel(D: int):
     R = ROWS_PER_TILE
 
-    def kernel(slots_ref, hyper_ref,   # scalar-prefetch
+    def kernel(hyper_ref,              # scalar-prefetch
                values_hbm, m_hbm, v_hbm, grads_ref,
+               slots_ref,              # [R] int32 SMEM tile
                values_out, m_out, v_out,
                vtile, mtile, wtile, sem):
-        t = pl.program_id(0)
-        base = t * R
-
         def start_in(i, carry):
-            slot = slots_ref[base + i]
+            slot = slots_ref[0, i]
             pltpu.make_async_copy(values_hbm.at[slot], vtile.at[i],
                                   sem.at[0, i]).start()
             pltpu.make_async_copy(m_hbm.at[slot], mtile.at[i],
@@ -199,7 +200,7 @@ def _make_adam_kernel(D: int):
             return carry
 
         def wait_in(i, carry):
-            slot = slots_ref[base + i]
+            slot = slots_ref[0, i]
             pltpu.make_async_copy(values_hbm.at[slot], vtile.at[i],
                                   sem.at[0, i]).wait()
             pltpu.make_async_copy(m_hbm.at[slot], mtile.at[i],
@@ -223,7 +224,7 @@ def _make_adam_kernel(D: int):
         vtile[:] = vtile[:] - alpha * m / (jnp.sqrt(v) + eps)
 
         def start_out(i, carry):
-            slot = slots_ref[base + i]
+            slot = slots_ref[0, i]
             pltpu.make_async_copy(vtile.at[i], values_out.at[slot],
                                   sem.at[0, i]).start()
             pltpu.make_async_copy(mtile.at[i], m_out.at[slot],
@@ -233,7 +234,7 @@ def _make_adam_kernel(D: int):
             return carry
 
         def wait_out(i, carry):
-            slot = slots_ref[base + i]
+            slot = slots_ref[0, i]
             pltpu.make_async_copy(vtile.at[i], values_out.at[slot],
                                   sem.at[0, i]).wait()
             pltpu.make_async_copy(mtile.at[i], m_out.at[slot],
@@ -266,15 +267,18 @@ def adam_apply_rows(values, m, v, slots, grads, alpha, beta1, beta2,
     hyper = jnp.asarray([alpha, beta1, beta2, epsilon], jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_pad // ROWS_PER_TILE,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((ROWS_PER_TILE, D),
-                         lambda t, s, h: (t, 0),
+                         lambda t, h: (t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS_PER_TILE),
+                         lambda t, h: (t, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -294,9 +298,9 @@ def adam_apply_rows(values, m, v, slots, grads, alpha, beta1, beta2,
                    jax.ShapeDtypeStruct(m.shape, m.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
         grid_spec=grid_spec,
-        input_output_aliases={2: 0, 3: 1, 4: 2},
+        input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
-    )(sp, hyper, values, m, v, gp)
+    )(hyper, values, m, v, gp, sp.reshape(-1, ROWS_PER_TILE))
     return vout, mout, wout
 
 

@@ -20,6 +20,11 @@ import time
 sys.path.insert(0, ".")  # repo root
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -30,7 +35,7 @@ from deeprec_tpu.optimizers import sparse as sopt
 from deeprec_tpu.train import loop as trainlib
 
 WARMUP = 100
-MEASURE = 50  # short windows overestimate via dispatch-queue slack
+MEASURE = 30
 
 # DeepRec's best published samples/s per model (BASELINE.md; FP32+BF16
 # where published, else FP32).
@@ -48,9 +53,10 @@ BASELINES = {
 # (``modelzoo/WDL/train.py:40-96``, ``modelzoo/DLRM/train.py:330``);
 # behavior models use the reference embedding dims.
 COLUMN_KWARGS = {
-    "wdl": dict(reference_shapes=True, capacity=1 << 20),
+    "wdl": dict(reference_shapes=True, capacity=1 << 20,
+                wide_in_deep=True),
     "deepfm": dict(embedding_dim=16, reference_shapes=True,
-                   capacity=1 << 20),
+                   capacity=1 << 20, wide_in_deep=True),
     "dlrm": dict(embedding_dim=16, reference_shapes=True,
                  capacity=1 << 20),
     "esmm": dict(embedding_dim=16, reference_shapes=True,
@@ -184,25 +190,21 @@ def bench_model(name: str, batch: int = 16384) -> dict:
     batches = [group.pack_batch(data.next_batch()) for _ in range(8)]
     for i in range(WARMUP):
         ts, m = step(ts, batches[i % len(batches)])
-    jax.block_until_ready((ts, m))
+    # HONEST TIMING (round-2 finding): block_until_ready acks on
+    # enqueue here without awaiting execution; a small dependent D2H is
+    # the only real fence — one drains the warmup backlog, one closes
+    # the window (and doubles as the loss sanity readout).
+    float(jax.device_get(m["loss"]))
     t0 = time.perf_counter()
     for i in range(MEASURE):
         ts, m = step(ts, batches[i % len(batches)])
-    # Block on the WHOLE final state, not just the loss — the loss
-    # buffer completes before the optimizer updates, and timing only
-    # it undercounts the last step's tail.
-    jax.block_until_ready((ts, m))
+    loss = float(jax.device_get(m["loss"]))
     dt = time.perf_counter() - t0
 
     sps = batch * MEASURE / dt
     out = {"metric": f"{name}_samples_per_sec", "value": round(sps, 2),
-           "unit": "samples/s", "batch": batch}
-    if jax.default_backend() == "cpu" or os.environ.get(
-            "DEEPREC_BENCH_LOSS"):
-        # D2H after full-scale train programs can wedge the tunneled
-        # device runtime (PARITY.md); loss sanity-readout is opt-in
-        # there and AUC evidence comes from the CPU-backend runs.
-        out["loss"] = round(float(m["loss"]), 4)
+           "unit": "samples/s", "batch": batch,
+           "loss": round(loss, 4)}
     if name in BASELINES:
         out["vs_baseline"] = round(sps / BASELINES[name], 3)
     return roofline(out, compiled, dt / MEASURE)
