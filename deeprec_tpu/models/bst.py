@@ -43,8 +43,15 @@ class BST(nn.Module):
                                  name=f"block_{i}")(x, m)
         cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1)
         pooled = jnp.sum(x, axis=1) / cnt.astype(x.dtype)
+        # The candidate token's contextualized output (its attention
+        # over the history) carries the candidate-history affinity
+        # signal directly; mean-pooling alone dilutes it 1/(T+1). The
+        # reference BST feeds per-position outputs to the MLP
+        # (``modelzoo/BST/train.py`` flattens the transformer output) —
+        # candidate-position + mean is the compact equivalent.
+        cand_ctx = x[:, -1, :]
         h = nn.relu(MLP(units=self.hidden, dtype=self.dtype, name="mlp")(
-            jnp.concatenate([user, pooled], axis=1)))
+            jnp.concatenate([user, cand, cand_ctx, pooled], axis=1)))
         return LogitsHead(name="head")(h)
 
 

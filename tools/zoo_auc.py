@@ -76,6 +76,27 @@ MODULE_KWARGS = {
 }
 
 
+# Per-model campaign settings. Rationale: interaction-only (DLRM) and
+# sequence-attention/GRU (DIN/DIEN/BST) heads learn per-id structure
+# slower than linear/FM heads, so they get more steps; sequence smokes
+# use a 20k-item space so head items recur enough in a short run (the
+# reference's Amazon-Books runs are many epochs over 367k items —
+# equivalent recurrence, scaled to a smoke budget).
+CAMPAIGN = {
+    "wdl": dict(steps=288),
+    "deepfm": dict(steps=288),
+    "dlrm": dict(steps=576, lr=0.2),
+    "esmm": dict(steps=288),
+    "mmoe": dict(steps=288),
+    "dbmtl": dict(steps=288),
+    "simple_multitask": dict(steps=288),
+    "din": dict(steps=384, lr=0.3, items=20_000),
+    "dien": dict(steps=192, lr=0.3, items=20_000),
+    "bst": dict(steps=384, lr=0.3, items=20_000),
+    "dssm": dict(steps=288, lr=0.1, items=20_000),
+}
+
+
 def run(name: str, steps: int = 288, bf16: bool = True,
         batch: int = 4096, pool: int = 48):
     from deeprec_tpu.feature_column.feature_column import EmbeddingGroup
@@ -94,8 +115,8 @@ def run(name: str, steps: int = 288, bf16: bool = True,
     if bf16:
         mk["dtype"] = jnp.bfloat16
     module = entry.make_module(**mk)
-    dk = dict(batch_size=batch, num_items=100_000, num_cats=1000,
-              seq_len=50) if is_seq \
+    dk = dict(batch_size=batch, num_items=_arg("--items", 100_000),
+              num_cats=1000, seq_len=50) if is_seq \
         else dict(batch_size=batch, vocab=CRITEO_HASH_BUCKETS)
     data = entry.make_data(seed=0, **dk)
 
@@ -159,7 +180,9 @@ def run(name: str, steps: int = 288, bf16: bool = True,
             return o["ctr"], b["click"]
         if isinstance(o, tuple) and len(o) == 2:
             u, v = o
-            return jnp.sum(u * v, axis=1), b["label"]
+            if getattr(u, "ndim", 0) == 2 and getattr(v, "ndim", 0) == 2:
+                return jnp.sum(u * v, axis=1), b["label"]  # DSSM towers
+            return jnp.reshape(u, (-1,)), b["label"]  # (logits, aux) pair
         return o, b["label"]
 
     if (hasattr(probe, "ndim") and probe.ndim == 1) or \
@@ -193,8 +216,14 @@ def _campaign(names, steps, argv_tail):
                 if r.get("metric", "").rsplit("_synthetic", 1)[0]
                 not in names]
     for name in names:
+        cfg = CAMPAIGN.get(name, {})
+        n_steps = cfg.get("steps", steps)
         cmd = [sys.executable, os.path.abspath(__file__), name,
-               str(steps)] + argv_tail
+               str(n_steps)] + argv_tail
+        if "lr" in cfg and "--lr" not in argv_tail:
+            cmd += ["--lr", str(cfg["lr"])]
+        if "items" in cfg and "--items" not in argv_tail:
+            cmd += ["--items", str(cfg["items"])]
         r = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=7200)
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
@@ -223,7 +252,19 @@ if __name__ == "__main__":
     name = sys.argv[1]
     steps = int(sys.argv[2]) if len(sys.argv) > 2 and \
         sys.argv[2].isdigit() else 288
-    tail = [a for a in sys.argv[2:] if not a.isdigit()]
+    # Drop only the steps positional — numeric FLAG VALUES must stay
+    # paired with their flags.
+    tail, skip = [], False
+    for i, a in enumerate(sys.argv[2:]):
+        if skip:
+            tail.append(a)
+            skip = False
+        elif a.startswith("--"):
+            tail.append(a)
+            skip = i + 2 + 1 < len(sys.argv) and \
+                not sys.argv[i + 3].startswith("--")
+        elif not (i == 0 and a.isdigit()):
+            tail.append(a)
     if name == "all":
         from deeprec_tpu.models.registry import ZOO
         _campaign(sorted(ZOO), steps, tail)
