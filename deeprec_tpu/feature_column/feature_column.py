@@ -89,6 +89,17 @@ class EmbeddingColumn:
         default_factory=cfglib.EmbeddingVariableOption)
     shared_name: Optional[str] = None
     max_probes: int = 64
+    # Dynamic-dimension EV (``get_dynamic_dimension_embedding_variable``
+    # analog): dim splits into ``dyn_dim_blocks`` blocks unlocked by
+    # frequency (``dyn_dim_thresholds``, len blocks-1).  With
+    # ``dyn_dim_hot_capacity`` set, the group stores blocks 1..n in a
+    # separate small table whose rows are only allocated once a key
+    # crosses the first threshold (CBF-gated insertion,
+    # ``embedding/dyn_dim.py``) — real table shrinkage; without it,
+    # the full matrix is stored and locked blocks are masked.
+    dyn_dim_blocks: int = 1
+    dyn_dim_thresholds: tuple = ()
+    dyn_dim_hot_capacity: Optional[int] = None
 
     @property
     def table_name(self) -> str:
@@ -101,7 +112,8 @@ class EmbeddingColumn:
             name=self.table_name, dim=self.dim, capacity=self.capacity,
             initializer=self.initializer, init_scale=scale,
             ev_option=self.ev_option, combiner=self.combiner,
-            max_probes=self.max_probes)
+            max_probes=self.max_probes, block_num=self.dyn_dim_blocks,
+            dyn_dim_thresholds=self.dyn_dim_thresholds)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,7 +170,11 @@ class EmbeddingGroup:
         # step instead of one per logical table — on TPU this collapses
         # dozens of small sorts/scatters into a couple of large ones.
         self._phys_of: Dict[str, tuple[str, int]] = {}
+        # Base physical table -> hot-block sibling table (memory-saving
+        # dynamic-dim split, ``embedding/dyn_dim.py``).
+        self._dyn_hot: Dict[str, str] = {}
         logical: Dict[str, cfglib.TableConfig] = {}
+        hot_caps: Dict[str, int] = {}
         for c in self.embedding:
             tc = c.table_config()
             if tc.name in logical:
@@ -167,6 +183,21 @@ class EmbeddingGroup:
                         f"shared table {tc.name}: dim mismatch")
             else:
                 logical[tc.name] = tc
+                if tc.block_num > 1 and c.dyn_dim_hot_capacity:
+                    hot_caps[tc.name] = int(c.dyn_dim_hot_capacity)
+        # Split dyn-dim tables into base + hot siblings up front; they
+        # bypass coalescing (their id spaces must stay un-salted so the
+        # two sibling lookups agree, and merging bases of different
+        # hot shapes has no payoff).
+        if hot_caps:
+            from deeprec_tpu.embedding import dyn_dim as ddlib
+            for name, hc in hot_caps.items():
+                base_cfg, hot_cfg = ddlib.split_configs(
+                    logical.pop(name), hc)
+                self._phys_of[name] = (name, 0)
+                self._add_table(base_cfg)
+                self._add_table(hot_cfg)
+                self._dyn_hot[name] = hot_cfg.name
         if coalesce:
             groups: Dict[tuple, list] = {}
             for name, tc in logical.items():
@@ -401,6 +432,39 @@ class EmbeddingGroup:
                     mask=mask[:, off:off + w],
                     routing=routing)
                 off += w
+            hname = self._dyn_hot.get(tname)
+            if hname is not None:
+                # Hot-block sibling: same ids, its own (CBF-gated)
+                # admission/insertion and its own routing. Per-column
+                # results land under "<col>#hot" and are concatenated
+                # back in :meth:`combine`.
+                hcfg = self.tables[hname]
+                if self.axis_name is not None:
+                    hlocal = sharded.local_of(new_states[hname])
+                    hlocal, hsbl = sharded.bag_lookup_train(
+                        hcfg, hlocal, ids_hi, ids_lo, global_step,
+                        axis_name=self.axis_name,
+                        capacity_factor=self.capacity_factor,
+                        salt=self.salts[hname])
+                    new_states[hname] = sharded.stacked_of(hlocal)
+                    lks[hname] = hsbl.lk
+                    hrouting = hsbl.routing
+                    hinv, hmask = hrouting.inverse, hrouting.mask
+                else:
+                    new_states[hname], hbl = lkup.bag_lookup_train(
+                        hcfg, new_states[hname], ids_hi, ids_lo,
+                        global_step, salt=self.salts[hname])
+                    lks[hname] = hbl.lk
+                    hrouting = None
+                    hinv, hmask = hbl.inverse, hbl.mask
+                off = 0
+                for c, w in zip(tcols, widths):
+                    cols[c.name + "#hot"] = ColumnLookup(
+                        column=c, table_name=hname,
+                        inverse=hinv[:, off:off + w],
+                        mask=hmask[:, off:off + w],
+                        routing=hrouting)
+                    off += w
         return new_states, GroupLookup(lks=lks, columns=cols)
 
     def combine(self, gl: GroupLookup, rows: Dict[str, jax.Array]):
@@ -437,6 +501,16 @@ class EmbeddingGroup:
             else:
                 out[cname] = lkup.combine_bags(
                     r, cl.inverse, cl.mask, cl.column.combiner)
+        # Dyn-dim split columns: concatenate the hot-block sibling's
+        # output back onto the base block (cold keys read zeros there).
+        for cname in [k for k in out if k.endswith("#hot")]:
+            base = cname[: -len("#hot")]
+            h = out.pop(cname)
+            if isinstance(out[base], tuple):
+                seq, m = out[base]
+                out[base] = (jnp.concatenate([seq, h[0]], axis=-1), m)
+            else:
+                out[base] = jnp.concatenate([out[base], h], axis=-1)
         return out
 
     def apply_gradients(self, opt, slot_states, states, gl: GroupLookup,

@@ -267,6 +267,38 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
                     embs[c.name] = lkup.combine_bags(
                         local_rows, inv_c, m_c, c.combiner)
                 off += w
+            hname = getattr(group, "_dyn_hot", {}).get(tname)
+            if hname is not None:
+                # Dyn-dim split: read the hot-block sibling with the
+                # same ids and concatenate (cold keys read defaults =
+                # zeros there).
+                hcfg = group.tables[hname]
+                if axis is not None:
+                    hstate = shlib.local_of(ts.ev[hname])
+                    hrows, hinv, _ = shlib.lookup_rows_infer(
+                        hcfg, hstate, ids_hi, ids_lo, axis_name=axis,
+                        capacity_factor=group.capacity_factor)
+                else:
+                    hrows = ev.lookup(hcfg, ts.ev[hname],
+                                      ids_hi.reshape(-1),
+                                      ids_lo.reshape(-1))
+                    hinv = inverse
+                off = 0
+                for c, w in zip(tcols, widths):
+                    inv_c = hinv[:, off:off + w]
+                    m_c = mask[:, off:off + w]
+                    if isinstance(c, fclib.SequenceEmbeddingColumn):
+                        hseq = hrows[inv_c] * m_c[..., None].astype(
+                            hrows.dtype)
+                        seq, m0 = embs[c.name]
+                        embs[c.name] = (jnp.concatenate(
+                            [seq, hseq], axis=-1), m0)
+                    else:
+                        hbag = lkup.combine_bags(
+                            hrows, inv_c, m_c, c.combiner)
+                        embs[c.name] = jnp.concatenate(
+                            [embs[c.name], hbag], axis=-1)
+                    off += w
         return apply_fn(ts.params, embs, batch)
 
     if mesh is None:

@@ -131,3 +131,154 @@ def test_shrink_applies_to_both():
     st = e.shrink(st, global_step=10)
     assert int(jax.device_get(ev.num_live(st.base))) == 0
     assert int(jax.device_get(ev.num_live(st.hot))) == 0
+
+
+def test_group_level_split_end_to_end():
+    """EmbeddingColumn(dyn_dim_*) through EmbeddingGroup: training,
+    eval-path read, and checkpoint-visible hot table."""
+    import optax
+
+    from deeprec_tpu.feature_column.feature_column import (
+        EmbeddingColumn, EmbeddingGroup, SparseIds)
+    from deeprec_tpu.optimizers import sparse as sopt
+    from deeprec_tpu.train import loop as trainlib
+    from deeprec_tpu.train.losses import bce_with_logits
+    import flax.linen as nn
+
+    col = EmbeddingColumn(
+        name="f", dim=DIM, capacity=CAP, init_scale=1.0,
+        dyn_dim_blocks=BLOCKS, dyn_dim_thresholds=(2, 4, 6),
+        dyn_dim_hot_capacity=HOT_CAP)
+    group = EmbeddingGroup([col])
+    # Hot sibling registered with shrunken storage.
+    assert "f#hot" in group.tables
+    states = group.create_state()
+    assert states["f"].values.shape == (CAP + 1, D0)
+    assert states["f#hot"].values.shape == (HOT_CAP + 1, DIM - D0)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, embs, numeric=None):
+            return nn.Dense(1)(embs["f"])[:, 0]
+
+    model = M()
+    rng = np.random.default_rng(0)
+
+    def batch(hot_only=False):
+        # id 5 recurs (hot); others are one-shot cold ids.
+        ids = np.where(rng.random((64, 1)) < 0.5, 5,
+                       rng.integers(10, 1 << 40, size=(64, 1)))
+        if hot_only:
+            ids[:] = 5
+        return {"f": SparseIds.from_numpy(ids.astype(np.int64)),
+                "label": jnp.asarray(
+                    (ids[:, 0] == 5).astype(np.float32))}
+
+    b0 = batch()
+
+    @jax.jit
+    def _init(states, b, key):
+        _, gl = group.lookup_train(states, b, 0)
+        embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+        assert embs["f"].shape == (64, DIM)
+        return model.init(key, embs)
+
+    v = _init(states, b0, jax.random.key(0))
+    opt = sopt.SparseAdagrad(learning_rate=0.2)
+    tx = optax.adagrad(0.2)
+    ts = trainlib.create_train_state(group, v["params"], tx, opt)
+    step = trainlib.make_train_step(
+        group, lambda p, e, b: model.apply({"params": p}, e), 
+        lambda o, b: bce_with_logits(o, b["label"]), opt, tx)
+    for i in range(6):
+        ts, m = step(ts, batch())
+    from deeprec_tpu.embedding import variable as ev
+    n_hot = int(jax.device_get(ev.num_live(ts.ev["f#hot"])))
+    n_base = int(jax.device_get(ev.num_live(ts.ev["f"])))
+    # Only the recurring id earned a hot row; cold ids fill the base.
+    assert n_hot <= 2 and n_hot >= 1
+    assert n_base > 50
+
+    eval_step = trainlib.make_eval_step(
+        group, lambda p, e, b: model.apply({"params": p}, e))
+    out = eval_step(ts, batch(hot_only=True))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_group_level_split_sharded(mesh8):
+    """Dyn-dim split under shard_map: base and hot siblings row-sharded
+    over the mesh, hot insertion still CBF-gated per owner shard."""
+    import optax
+    import flax.linen as nn
+
+    from deeprec_tpu.feature_column.feature_column import (
+        EmbeddingColumn, EmbeddingGroup, SparseIds)
+    from deeprec_tpu.optimizers import sparse as sopt
+    from deeprec_tpu.train import loop as trainlib
+    from deeprec_tpu.train.losses import bce_with_logits
+
+    def cols():
+        return [EmbeddingColumn(
+            name="f", dim=DIM, capacity=1 << 10, init_scale=1.0,
+            dyn_dim_blocks=BLOCKS, dyn_dim_thresholds=(2, 4, 6),
+            dyn_dim_hot_capacity=256)]
+
+    group = EmbeddingGroup(cols(), axis_name="data", num_shards=8)
+    single = EmbeddingGroup(cols())
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, embs, numeric=None):
+            return nn.Dense(1)(embs["f"])[:, 0]
+
+    model = M()
+    rng = np.random.default_rng(0)
+
+    def batch():
+        ids = np.where(rng.random((64, 1)) < 0.5,
+                       rng.integers(0, 8, size=(64, 1)),
+                       rng.integers(100, 1 << 40, size=(64, 1)))
+        return {"f": SparseIds.from_numpy(ids.astype(np.int64)),
+                "label": jnp.asarray(
+                    (ids[:, 0] < 8).astype(np.float32))}
+
+    b0 = batch()
+    s0 = single.create_state()
+    _, gl = single.lookup_train(s0, b0, 0)
+    embs = single.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+    params = model.init(jax.random.key(0), embs)["params"]
+
+    opt = sopt.SparseAdagrad(learning_rate=0.2)
+    tx = optax.adagrad(0.2)
+    ts = trainlib.create_train_state(group, params, tx, opt)
+    step = trainlib.make_train_step(
+        group, lambda p, e, b: model.apply({"params": p}, e),
+        lambda o, b: bce_with_logits(o, b["label"]), opt, tx,
+        mesh=mesh8)
+    first = None
+    for i in range(10):
+        ts, m = step(ts, batch())
+        if first is None:
+            first = float(m["loss"])
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < first
+    # Hot rows exist on some shard (the 8 recurring head ids), far
+    # fewer than the base's live count.
+    from deeprec_tpu.embedding import variable as ev
+    from deeprec_tpu.embedding import sharded as shlib
+    hot_live = sum(
+        int(jax.device_get(ev.num_live(jax.tree.map(
+            lambda x: x[s], ts.ev["f#hot"]))))
+        for s in range(8))
+    base_live = sum(
+        int(jax.device_get(ev.num_live(jax.tree.map(
+            lambda x: x[s], ts.ev["f"]))))
+        for s in range(8))
+    assert 1 <= hot_live <= 16
+    assert base_live > 100
+
+    eval_step = trainlib.make_eval_step(
+        group, lambda p, e, b: model.apply({"params": p}, e),
+        mesh=mesh8)
+    out = eval_step(ts, batch())
+    assert np.all(np.isfinite(np.asarray(out)))

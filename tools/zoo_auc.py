@@ -82,17 +82,22 @@ MODULE_KWARGS = {
 # use a 20k-item space so head items recur enough in a short run (the
 # reference's Amazon-Books runs are many epochs over 367k items —
 # equivalent recurrence, scaled to a smoke budget).
+# Recipe (settled by round-2 probes): sparse Adagrad lr 0.3 on
+# embeddings + Adam 2e-3 on dense towers — flat low-lr Adagrad
+# underfits both the per-id tables and the interaction stacks on a
+# 300-600-step budget (DeepFM 0.634 -> 0.675 at 288 steps from this
+# change alone).
 CAMPAIGN = {
-    "wdl": dict(steps=288),
-    "deepfm": dict(steps=288),
-    "dlrm": dict(steps=576, lr=0.2),
-    "esmm": dict(steps=288),
-    "mmoe": dict(steps=288),
-    "dbmtl": dict(steps=288),
-    "simple_multitask": dict(steps=288),
+    "wdl": dict(steps=384, lr=0.3, dense="adam"),
+    "deepfm": dict(steps=384, lr=0.3, dense="adam"),
+    "dlrm": dict(steps=576, lr=0.3, dense="adam"),
+    "esmm": dict(steps=384, lr=0.3, dense="adam"),
+    "mmoe": dict(steps=384, lr=0.3, dense="adam"),
+    "dbmtl": dict(steps=384, lr=0.3, dense="adam"),
+    "simple_multitask": dict(steps=384, lr=0.3, dense="adam"),
     "din": dict(steps=384, lr=0.3, items=20_000),
-    "dien": dict(steps=192, lr=0.3, items=20_000),
-    "bst": dict(steps=384, lr=0.3, items=20_000),
+    "dien": dict(steps=288, lr=0.3, dense="adam", items=20_000),
+    "bst": dict(steps=384, lr=0.3, dense="adam", items=20_000),
     "dssm": dict(steps=288, lr=0.1, items=20_000),
 }
 
@@ -133,7 +138,16 @@ def run(name: str, steps: int = 288, bf16: bool = True,
     variables = _init(group.create_state(), b0, jax.random.key(0))
     lr = _arg("--lr", 0.05, float)
     opt = sopt.SparseAdagrad(learning_rate=lr)
-    tx = optax.adagrad(lr)
+    # Dense towers may use Adam while embeddings stay on sparse
+    # Adagrad (the standard recsys split; the reference modelzoo
+    # likewise pairs adagrad embeddings with adam towers in several
+    # models). --dense adam[:lr]
+    dense = _arg("--dense", "adagrad", str)
+    if dense.startswith("adam"):
+        dlr = float(dense.split(":", 1)[1]) if ":" in dense else 2e-3
+        tx = optax.adam(dlr)
+    else:
+        tx = optax.adagrad(lr)
     ts = trainlib.create_train_state(group, variables["params"], tx, opt)
     afn = entry.make_apply(module, group)
 
@@ -224,6 +238,8 @@ def _campaign(names, steps, argv_tail):
             cmd += ["--lr", str(cfg["lr"])]
         if "items" in cfg and "--items" not in argv_tail:
             cmd += ["--items", str(cfg["items"])]
+        if "dense" in cfg and "--dense" not in argv_tail:
+            cmd += ["--dense", str(cfg["dense"])]
         r = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=7200)
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
