@@ -119,6 +119,32 @@ def bench_lookup(C=1 << 20, n=1 << 17, max_probes=64):
     }), flush=True)
 
 
+def bench_gather(C=1 << 20, D=128, n=1 << 18):
+    """Pallas per-row-DMA gather vs the XLA gather — the embedding
+    fetch, THE dominant op of a reference-shaped recsys step."""
+    from deeprec_tpu.ops.pallas import gather as pg
+
+    rng = np.random.default_rng(0)
+    values = jnp.asarray(rng.normal(size=(C + 1, D)), jnp.float32)
+    slots = jnp.asarray(rng.integers(0, C, size=n), jnp.int32)
+
+    xla = jax.jit(lambda v, s: v[jnp.minimum(s, C)])
+    # Correctness on the compiled path before timing.
+    small = jnp.asarray(rng.integers(0, C, size=2048), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(pg.gather_rows(values, small)),
+        np.asarray(xla(values, small)))
+    t_xla = timeit(xla, values, slots)
+    t_pal = timeit(pg.gather_rows, values, slots)
+    print(json.dumps({
+        "metric": "gather_rows", "rows": n, "capacity": C, "dim": D,
+        "xla_ms": round(t_xla * 1e3, 2),
+        "pallas_ms": round(t_pal * 1e3, 2),
+        "speedup": round(t_xla / t_pal, 2),
+        "pallas_ns_per_row": round(t_pal / n * 1e9, 1),
+    }), flush=True)
+
+
 def main():
     # Each bench in its own process: leftover multi-GB table buffers
     # push the device into host-spill mode and poison later timings.
@@ -130,6 +156,8 @@ def main():
             bench_adam(n=int(sys.argv[2]))
         elif which == "lookup":
             bench_lookup(max_probes=int(sys.argv[2]))
+        elif which == "gather":
+            bench_gather(D=int(sys.argv[2]))
         return
     import subprocess
     jobs = [("apply", "65536"), ("adam", "65536"), ("lookup", "64"),
