@@ -42,36 +42,58 @@ from deeprec_tpu.utils import keys as keylib
 
 
 class HashTable(NamedTuple):
-    """Pure state: the key arrays. Shape [capacity] each."""
+    """Pure state: slot ``i`` holds key ``key_pair[i] = (hi, lo)``.
 
-    key_hi: jax.Array
-    key_lo: jax.Array
+    The two int32 halves are INTERLEAVED in one [capacity, 2] array —
+    the probe scan then fetches both halves of a slot in a single
+    gather row (one HBM transaction), which sync-measures 3.4x faster
+    than two separate [n, W] gathers on v5e (the probe fetch is the
+    transaction-bound part of the lookup path).
+    """
+
+    key_pair: jax.Array  # [capacity, 2] int32
 
     @property
     def capacity(self) -> int:
-        return self.key_hi.shape[0]
+        return self.key_pair.shape[-2]
+
+    @property
+    def key_hi(self) -> jax.Array:
+        return self.key_pair[..., 0]
+
+    @property
+    def key_lo(self) -> jax.Array:
+        return self.key_pair[..., 1]
+
+
+def from_arrays(key_hi, key_lo) -> HashTable:
+    """Build from separate hi/lo arrays (host rebuilds, tests)."""
+    return HashTable(key_pair=jnp.stack(
+        [jnp.asarray(key_hi, jnp.int32),
+         jnp.asarray(key_lo, jnp.int32)], axis=-1))
 
 
 def create(capacity: int) -> HashTable:
     if capacity & (capacity - 1):
         raise ValueError(f"capacity {capacity} must be a power of two")
-    return HashTable(
-        key_hi=jnp.full((capacity,), keylib.EMPTY_HI, dtype=jnp.int32),
-        key_lo=jnp.full((capacity,), keylib.EMPTY_LO, dtype=jnp.int32),
-    )
+    pair = jnp.broadcast_to(
+        jnp.asarray([keylib.EMPTY_HI, keylib.EMPTY_LO], jnp.int32),
+        (capacity, 2))
+    return HashTable(key_pair=pair)
 
 
-def _scan(key_hi, key_lo, qhi, qlo, buckets, max_probes: int):
+def _scan(key_pair, qhi, qlo, buckets, max_probes: int):
     """One vectorized probe scan.
 
     Returns (found, found_slot, has_reuse, reuse_slot, saw_empty),
     each [n].  Slots equal to ``capacity`` mean "none".
     """
-    capacity = key_hi.shape[0]
+    capacity = key_pair.shape[0]
     offs = jnp.arange(max_probes, dtype=jnp.int32)
     pos = (buckets[:, None] + offs[None, :]) & jnp.int32(capacity - 1)
-    khi = key_hi[pos]
-    klo = key_lo[pos]
+    kp = key_pair[pos]          # [n, W, 2] — ONE gather for both halves
+    khi = kp[..., 0]
+    klo = kp[..., 1]
     match = (khi == qhi[:, None]) & (klo == qlo[:, None])
     sent_hi = khi == keylib.EMPTY_HI
     empty = sent_hi & (klo == keylib.EMPTY_LO)
@@ -144,7 +166,7 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64):
     buckets = keylib.bucket_of(qhi, qlo, capacity)
     is_sentinel = qhi == keylib.EMPTY_HI
     found, found_slot, _, _, saw_empty = _scan(
-        table.key_hi, table.key_lo, qhi, qlo, buckets,
+        table.key_pair, qhi, qlo, buckets,
         min(FAST_PROBES, max_probes))
     slots = jnp.where(found & ~is_sentinel, found_slot, capacity)
     if max_probes <= FAST_PROBES:
@@ -159,7 +181,7 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64):
     pad = idx >= n
     safe = jnp.minimum(idx, n - 1)
     f2, fs2, _, _, _ = _scan(
-        table.key_hi, table.key_lo,
+        table.key_pair,
         jnp.where(pad, keylib.EMPTY_HI, qhi[safe]),
         jnp.where(pad, keylib.EMPTY_LO, qlo[safe]),
         jnp.where(pad, 0, buckets[safe]), max_probes)
@@ -204,9 +226,9 @@ def find_or_insert(
         original semantics (the full window always contains the match
         if one exists).
         """
-        r, key_hi, key_lo, slots, is_new, pending = state
+        r, key_pair, slots, is_new, pending = state
         found, found_slot, has_reuse, reuse_slot, saw_empty = _scan(
-            key_hi, key_lo, qhi, qlo, buckets, probes)
+            key_pair, qhi, qlo, buckets, probes)
         # Resolve finds (lookup-only ids and insert ids alike).
         hit = pending & found
         slots = jnp.where(hit, found_slot, slots)
@@ -221,19 +243,18 @@ def find_or_insert(
         claim = claim.at[prop].min(jnp.where(want, tokens, n))
         won = want & (claim[prop] == tokens)
         widx = jnp.where(won, prop, capacity)  # capacity OOB for [C] => drop
-        key_hi = key_hi.at[widx].set(qhi, mode="drop")
-        key_lo = key_lo.at[widx].set(qlo, mode="drop")
+        key_pair = key_pair.at[widx].set(
+            jnp.stack([qhi, qlo], axis=-1), mode="drop")
         slots = jnp.where(won, prop, slots)
         is_new = is_new | won
         pending = pending & ~won
-        return (r + 1, key_hi, key_lo, slots, is_new, pending), saw_empty
+        return (r + 1, key_pair, slots, is_new, pending), saw_empty
 
     # Derive initial carries from the (possibly axis-varying) queries so
     # their vma tags match the loop outputs under shard_map.
     state = (
         jnp.int32(0),
-        table.key_hi,
-        table.key_lo,
+        table.key_pair,
         jnp.full((n,), capacity, dtype=jnp.int32) + (qhi & 0),
         jnp.zeros((n,), dtype=jnp.bool_) | (qhi != qhi),
         ~is_sentinel,
@@ -245,14 +266,14 @@ def find_or_insert(
     # never executed).
     fastw = min(FAST_PROBES, max_probes)
     state, saw_empty = round_fn(state, fastw, need_empty_proof=True)
-    r, key_hi, key_lo, slots, is_new, pending = state
+    r, key_pair, slots, is_new, pending = state
     # Non-insert ids whose fast window proved absence are done; ids
     # without proof (or unclaimed inserts) go to the full-width loop.
     pending = pending & (want_insert | ~saw_empty)
-    state = (r, key_hi, key_lo, slots, is_new, pending)
+    state = (r, key_pair, slots, is_new, pending)
 
     def cond(state):
-        r, _, _, _, _, pending = state
+        r, _, _, _, pending = state
         return (r < max_rounds) & jnp.any(pending)
 
     M = _straggler_budget(n)
@@ -262,14 +283,14 @@ def find_or_insert(
         instead of [n, W], so straggler rounds cost ~n/8 of a full
         scan. Rounds drain up to M pending ids each; leftovers (beyond
         the buffer, or claim-conflict losers) go to the next round."""
-        r, key_hi, key_lo, slots, is_new, pending = state
+        r, key_pair, slots, is_new, pending = state
         idx = _compact(pending, n, M)
         pad = idx >= n
         safe = jnp.minimum(idx, n - 1)
         q2h = jnp.where(pad, keylib.EMPTY_HI, qhi[safe])
         q2l = jnp.where(pad, keylib.EMPTY_LO, qlo[safe])
         found, found_slot, has_reuse, reuse_slot, _ = _scan(
-            key_hi, key_lo, q2h, q2l,
+            key_pair, q2h, q2l,
             jnp.where(pad, 0, buckets[safe]), max_probes)
         real2 = ~pad
         hit = real2 & found
@@ -282,8 +303,8 @@ def find_or_insert(
         claim = claim.at[prop].min(jnp.where(want2, idx, n))
         won = want2 & (claim[prop] == idx)
         widx = jnp.where(won, prop, capacity)  # capacity OOB => drop
-        key_hi = key_hi.at[widx].set(q2h, mode="drop")
-        key_lo = key_lo.at[widx].set(q2l, mode="drop")
+        key_pair = key_pair.at[widx].set(
+            jnp.stack([q2h, q2l], axis=-1), mode="drop")
         slots = slots.at[jnp.where(won, idx, n)].set(prop, mode="drop")
         is_new = is_new.at[jnp.where(won, idx, n)].set(True, mode="drop")
         # Done after this round: found, claim winners, and non-insert
@@ -291,11 +312,11 @@ def find_or_insert(
         done = hit | won | (real2 & ~found & ~want_insert[safe])
         pending = pending.at[jnp.where(done, idx, n)].set(
             False, mode="drop")
-        return (r + 1, key_hi, key_lo, slots, is_new, pending)
+        return (r + 1, key_pair, slots, is_new, pending)
 
-    _, key_hi, key_lo, slots, is_new, _ = jax.lax.while_loop(
+    _, key_pair, slots, is_new, _ = jax.lax.while_loop(
         cond, body, state)
-    return HashTable(key_hi=key_hi, key_lo=key_lo), slots, is_new
+    return HashTable(key_pair=key_pair), slots, is_new
 
 
 def remove_slots(table: HashTable, slot_mask) -> HashTable:
@@ -308,9 +329,9 @@ def remove_slots(table: HashTable, slot_mask) -> HashTable:
                  & ((table.key_lo == keylib.EMPTY_LO)
                     | (table.key_lo == keylib.TOMB_LO)))
     m = jnp.asarray(slot_mask, jnp.bool_) & occupied
-    key_hi = jnp.where(m, keylib.TOMB_HI, table.key_hi)
-    key_lo = jnp.where(m, keylib.TOMB_LO, table.key_lo)
-    return HashTable(key_hi=key_hi, key_lo=key_lo)
+    tomb = jnp.asarray([keylib.TOMB_HI, keylib.TOMB_LO], jnp.int32)
+    return HashTable(key_pair=jnp.where(
+        m[:, None], tomb[None, :], table.key_pair))
 
 
 def live_mask(table: HashTable):

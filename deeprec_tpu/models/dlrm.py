@@ -43,6 +43,11 @@ class DLRM(nn.Module):
     bottom: Sequence[int] = (512, 256)
     top: Sequence[int] = (1024, 1024, 512, 256)
     dtype: Any = jnp.float32
+    # The reference exposes both interaction modes
+    # (``modelzoo/DLRM/train.py:77,190-201`` --interaction_op):
+    # "dot" = pairwise dots (+ dense bottom) into the top MLP;
+    # "cat" = raw embeddings + dense straight into the top MLP.
+    interaction_op: str = "dot"
 
     @nn.compact
     def __call__(self, embs, numeric):
@@ -50,9 +55,16 @@ class DLRM(nn.Module):
             units=tuple(self.bottom) + (self.embedding_dim,),
             dtype=self.dtype, name="bot")(numeric))
         field = [v for _, v in sorted(embs.items())]
-        fe = jnp.stack([dense_emb.astype(field[0].dtype)] + field, axis=1)
-        z = dot_interaction(fe)                                # [B, F*(F+1)/2]
-        x = jnp.concatenate([dense_emb, z.astype(dense_emb.dtype)], axis=1)
+        if self.interaction_op == "cat":
+            x = jnp.concatenate(
+                [dense_emb] + [f.astype(dense_emb.dtype) for f in field],
+                axis=1)
+        else:
+            fe = jnp.stack([dense_emb.astype(field[0].dtype)] + field,
+                           axis=1)
+            z = dot_interaction(fe)                        # [B, F*(F+1)/2]
+            x = jnp.concatenate([dense_emb, z.astype(dense_emb.dtype)],
+                                axis=1)
         h = nn.relu(MLP(units=self.top, dtype=self.dtype, name="top")(x))
         return LogitsHead(name="head")(h)
 

@@ -161,7 +161,7 @@ def test_compact_np_preserves_mapping():
     table = ht.remove_slots(table, jnp.asarray(mask))
     new_hi, new_lo, old_to_new = ht.compact_np(
         np.asarray(table.key_hi), np.asarray(table.key_lo))
-    table2 = ht.HashTable(jnp.asarray(new_hi), jnp.asarray(new_lo))
+    table2 = ht.from_arrays(new_hi, new_lo)
     found = np.asarray(ht.find(table2, qhi, qlo))
     old = np.asarray(slots)
     for i in range(30):

@@ -117,6 +117,9 @@ def run(name: str, steps: int = 288, bf16: bool = True,
     group = EmbeddingGroup(entry.columns(**COLUMN_KWARGS[name]),
                            coalesce=True)
     mk = dict(MODULE_KWARGS[name])
+    if name == "dlrm" and "--cat" in sys.argv:
+        # The reference's --interaction_op cat (train.py:190-201).
+        mk["interaction_op"] = "cat"
     if bf16:
         mk["dtype"] = jnp.bfloat16
     module = entry.make_module(**mk)
