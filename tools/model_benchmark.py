@@ -143,14 +143,22 @@ MODULE_KWARGS = {
 
 
 def data_kwargs(name: str, batch: int):
+    """Id distributions MUST match the reference's hash-bucket counts
+    (the table capacities above are sized from them) — a uniform 200k
+    vocab against a 100-bucket column saturates the table and the
+    bench then measures overflow-probe grinding, not the model
+    (round-2 bug: DLRM read 0.36x baseline from exactly this)."""
     if name in ("din", "dien", "bst", "dssm"):
         return dict(batch_size=batch, num_items=200_000, seq_len=50)
-    return dict(batch_size=batch, vocab=200_000)
+    from deeprec_tpu.data.criteo import CRITEO_HASH_BUCKETS
+    # DLRM: uniform 10000 buckets per column (modelzoo/DLRM/train.py).
+    vocab = 10_000 if name == "dlrm" else CRITEO_HASH_BUCKETS
+    return dict(batch_size=batch, vocab=vocab)
 
 
 def bench_model(name: str, batch: int = 16384) -> dict:
     if name in ("din", "dien", "bst", "dssm"):
-        batch = min(batch, 4096)  # sequence models: [B, T] activations
+        batch = min(batch, 8192)  # sequence models: [B, T] activations
     entry = ZOO[name]
     cols = entry.columns(**COLUMN_KWARGS[name])
     group = EmbeddingGroup(cols, coalesce=True)
@@ -220,16 +228,22 @@ def main():
         # model guarantees a clean device.
         import subprocess
         for name in names:
-            r = subprocess.run([sys.executable, sys.argv[0], name],
-                               capture_output=True, text=True,
-                               timeout=1200)
-            for line in r.stdout.splitlines():
+            try:
+                r = subprocess.run([sys.executable, sys.argv[0], name],
+                                   capture_output=True, text=True,
+                                   timeout=2400)
+                out, err, rc = r.stdout, r.stderr, r.returncode
+            except subprocess.TimeoutExpired as e:
+                out = (e.stdout or b"").decode() if isinstance(
+                    e.stdout, bytes) else (e.stdout or "")
+                err, rc = f"timeout after {e.timeout}s", 1
+            for line in out.splitlines():
                 if line.startswith("{"):
                     print(line, flush=True)
-            if r.returncode != 0:
+            if rc != 0:
                 print(json.dumps({
                     "metric": f"{name}_samples_per_sec",
-                    "error": (r.stderr.strip() or "nonzero exit")[-300:],
+                    "error": (err.strip() or "nonzero exit")[-300:],
                 }), flush=True)
         return
     name = names[0]
