@@ -206,8 +206,11 @@ def parse_criteo_lines(lines, hash_mod: Optional[int] = None):
     """Parse raw Kaggle TSV lines -> (labels, ints, cats int64).
 
     Missing ints -> 0; categorical hex tokens hashed to int64 with a
-    per-field offset so fields don't collide in shared tables.
+    per-field offset so fields don't collide in shared tables (non-hex
+    tokens string-hash, matching ``native.parse_criteo``).
     """
+    from deeprec_tpu import native as _native
+    mask40 = (1 << 40) - 1
     B = len(lines)
     labels = np.zeros((B,), np.float32)
     ints = np.zeros((B, NUM_INT), np.float32)
@@ -220,7 +223,12 @@ def parse_criteo_lines(lines, hash_mod: Optional[int] = None):
             ints[r, i] = float(v) if v else 0.0
         for i in range(NUM_CAT):
             v = parts[1 + NUM_INT + i] if 1 + NUM_INT + i < len(parts) else ""
-            h = int(v, 16) if v else 0
+            if not v:
+                h = 0
+            elif all(c in "0123456789abcdefABCDEF" for c in v):
+                h = int(v, 16) & mask40
+            else:
+                h = int(_native.hash_bytes([v])[0]) & mask40
             if hash_mod:
                 h %= hash_mod
             cats[r, i] = h + (i << 40)

@@ -220,7 +220,16 @@ def parse_criteo(data: bytes, max_rows: int, log_transform: bool = True):
             dense[r, i] = x
         for i in range(26):
             v = parts[14 + i] if 14 + i < len(parts) else ""
-            h = int(v, 16) if v else 0
+            mask40 = (1 << 40) - 1
+            # Mirror the C path exactly: bare hex digits parse as hex;
+            # anything else (incl. signs/0x prefixes) string-hashes so
+            # arbitrary categorical strings stay distinct.
+            if not v:
+                h = 0
+            elif all(c in "0123456789abcdefABCDEF" for c in v):
+                h = int(v, 16) & mask40
+            else:
+                h = int(hash_bytes([v])[0]) & mask40
             cats[r, i] = h + (i << 40)
     return len(spans), labels, dense, cats, consumed
 

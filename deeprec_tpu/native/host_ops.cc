@@ -92,8 +92,9 @@ int64_t drt_unique_i64(const int64_t* ids, int64_t n, int64_t* uniq,
 // Criteo-Kaggle TSV fast path: label \t I1..I13 \t C1..C26 (hex).
 // Missing numeric -> 0; ints optionally log-compressed
 // (sign(x)*log1p(|x|), the modelzoo transform).  Categorical tokens are
-// parsed as hex and offset per-field (field << 40) so fields don't
-// collide in shared tables; empty token -> id 0 of the field.
+// parsed as hex (string-hash fallback for non-hex tokens) and offset
+// per-field (field << 40) so fields don't collide in shared tables;
+// empty token -> id 0 of the field.
 // Returns rows parsed (<= max_rows). consumed gets the byte count of
 // whole lines consumed, so callers can carry partial tails.
 // ---------------------------------------------------------------------------
@@ -113,10 +114,18 @@ static inline double parse_float(const char* s, const char* e) {
   return neg ? -v : v;
 }
 
-static inline int64_t parse_hex(const char* s, const char* e) {
+static inline int64_t parse_cat_token(const char* s, const char* e) {
+  // Hex fast path (real Criteo tokens are 8 hex chars).  Tokens with
+  // any non-hex char fall back to FNV-1a + mix64 (the hash_bytes
+  // scheme), so arbitrary strings still get distinct ids — the
+  // categorical_column_with_hash_bucket behavior.  Both results are
+  // masked to 40 bits so the per-field (field << 40) offset below
+  // stays collision-free.
+  const uint64_t kMask40 = (1ull << 40) - 1;
   uint64_t v = 0;
-  for (; s < e; ++s) {
-    const char c = *s;
+  const char* p = s;
+  for (; p < e; ++p) {
+    const char c = *p;
     uint64_t d;
     if (c >= '0' && c <= '9') d = (uint64_t)(c - '0');
     else if (c >= 'a' && c <= 'f') d = (uint64_t)(c - 'a' + 10);
@@ -124,7 +133,10 @@ static inline int64_t parse_hex(const char* s, const char* e) {
     else break;
     v = (v << 4) | d;
   }
-  return (int64_t)v;
+  if (p == e) return (int64_t)(v & kMask40);
+  uint64_t h = 0xCBF29CE484222325ull;
+  for (p = s; p < e; ++p) h = (h ^ (uint8_t)*p) * 0x100000001B3ull;
+  return (int64_t)(mix64(h) & kMask40);
 }
 
 int64_t drt_parse_criteo(const char* buf, int64_t len, int64_t max_rows,
@@ -160,7 +172,7 @@ int64_t drt_parse_criteo(const char* buf, int64_t len, int64_t max_rows,
     for (int i = 0; i < kCat; ++i) {
       t = f < le ? (const char*)memchr(f, '\t', (size_t)(le - f)) : nullptr;
       fe = t ? t : le;
-      int64_t h = (f < fe) ? parse_hex(f, fe) : 0;
+      int64_t h = (f < fe) ? parse_cat_token(f, fe) : 0;
       cats26[row * kCat + i] = h + ((int64_t)i << 40);
       f = t ? t + 1 : le;
     }

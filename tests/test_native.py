@@ -101,6 +101,27 @@ class TestParseCriteo:
         assert rows == 1
         assert consumed == len(self.LINE)
 
+    def test_nonhex_tokens_string_hash(self):
+        # Arbitrary (non-hex) categorical strings must map to distinct
+        # nonzero ids — the categorical_column_with_hash_bucket
+        # behavior — identically in the C and numpy paths.
+        toks = ["sig0a", "user_42", "68fd1e64", ""]
+        line = ("1\t" + "\t".join(str(i) for i in range(13)) + "\t"
+                + "\t".join(toks + ["a"] * 22) + "\n").encode()
+        rows, _, _, cats, _ = native.parse_criteo(line, 2)
+        assert rows == 1
+        lo = cats[0, :4] & ((1 << 40) - 1)
+        assert lo[0] != 0 and lo[1] != 0 and lo[0] != lo[1]
+        assert lo[2] == 0x68FD1E64 and lo[3] == 0
+        assert cats[0, 0] >> 40 == 0 and cats[0, 1] >> 40 == 1
+        orig = native._build_and_load
+        native._build_and_load = lambda: None
+        try:
+            _, _, _, cats_py, _ = native.parse_criteo(line, 2)
+        finally:
+            native._build_and_load = orig
+        np.testing.assert_array_equal(cats, cats_py)
+
     def test_matches_python_parser(self):
         from deeprec_tpu.data.criteo import parse_criteo_lines
         lines = [self.LINE, "0\t5\t\t" + "\t" * 12

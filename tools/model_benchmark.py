@@ -17,7 +17,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))  # repo root
 
 import jax
 

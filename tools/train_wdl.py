@@ -24,10 +24,13 @@ unreliable (see PARITY.md "Known gaps").
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Anchor imports (__graft_entry__, deeprec_tpu) to the repo root so the
+# tool runs from any cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
