@@ -1,12 +1,13 @@
-"""ParquetDataset: columnar batch reader.
+"""ParquetDataset: columnar streaming batch reader.
 
 Rebuild of the reference's arrow-based ParquetDataset
 (``core/kernels/data/parquet_dataset_ops.cc``,
 ``python/data/experimental/ops/parquet_dataset_ops.py:141``,
 ``docs/ParquetDataset.md``): selected-column reads (IO proportional to
-the fields used, not the file width), batched iteration, and a
-DataFrame-ish field spec mapping columns to the framework's batch dict
-(numeric arrays + SparseIds).
+the fields used, not the file width), row-group streaming (memory
+bounded by one row group, not file size), batch carrying across file
+boundaries, and a DataFrame-ish field spec mapping columns to the
+framework's batch dict (numeric arrays + SparseIds).
 
 Uses pyarrow when present; gated with a clear error otherwise.
 """
@@ -14,7 +15,7 @@ Uses pyarrow when present; gated with a clear error otherwise.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 
@@ -22,11 +23,12 @@ from deeprec_tpu.feature_column.feature_column import SparseIds
 from deeprec_tpu.utils import keys as keylib
 
 try:  # pragma: no cover - environment probe
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     HAVE_PYARROW = True
 except ImportError:  # pragma: no cover
-    pq = None
+    pa = pq = None
     HAVE_PYARROW = False
 
 
@@ -35,6 +37,7 @@ class Field:
     """How one parquet column lands in the batch dict.
 
     kind: 'numeric' (float32), 'id' (int64 -> SparseIds [B, 1]),
+    'id_str' (string -> 64-bit hash -> SparseIds [B, 1]),
     'id_list' (list<int64> -> padded SparseIds [B, max_len]),
     'label' (float32 passthrough).
     """
@@ -46,7 +49,13 @@ class Field:
 
 
 class ParquetDataset:
-    """Iterate a parquet file (or list of files) as framework batches."""
+    """Iterate parquet file(s) as framework batches.
+
+    Streaming: reads one row group at a time (``ParquetFile.iter_batches``)
+    and carries partial batches across files, so memory is bounded by
+    ``max(row_group_size, batch_size)`` regardless of dataset size —
+    the reference's ``parquet_batch_reader.cc`` behavior.
+    """
 
     def __init__(self, paths, fields: Sequence[Field], batch_size: int,
                  drop_remainder: bool = True):
@@ -59,43 +68,58 @@ class ParquetDataset:
         self.batch_size = batch_size
         self.drop_remainder = drop_remainder
 
-    def _convert(self, table) -> Iterator[Dict]:
+    # ------------------------------------------------------------- conv
+
+    def _one_batch(self, table) -> Dict:
+        """Convert exactly one batch-worth of rows."""
+        batch: Dict = {}
         n = table.num_rows
-        B = self.batch_size
-        cols = {f.name: table.column(f.name) for f in self.fields}
-        stop = n - (n % B) if self.drop_remainder else n
-        for start in range(0, stop, B):
-            end = min(start + B, n)
-            batch: Dict = {}
-            for f in self.fields:
-                arr = cols[f.name].slice(start, end - start)
-                if f.kind == "numeric":
-                    batch[f.name] = np.asarray(
-                        arr.to_numpy(zero_copy_only=False), np.float32)
-                elif f.kind == "label":
-                    batch[f.name] = np.asarray(
-                        arr.to_numpy(zero_copy_only=False), np.float32)
-                elif f.kind == "id":
-                    ids = np.asarray(
-                        arr.to_numpy(zero_copy_only=False),
-                        np.int64)[:, None] + f.key_offset
-                    batch[f.name] = SparseIds.from_numpy(ids)
-                elif f.kind == "id_list":
-                    pylist = arr.to_pylist()
-                    out = np.full((end - start, f.max_len),
-                                  keylib.EMPTY_ID, np.int64)
-                    for r, row in enumerate(pylist):
-                        row = (row or [])[: f.max_len]
-                        if row:
-                            out[r, : len(row)] = np.asarray(
-                                row, np.int64) + f.key_offset
-                    batch[f.name] = SparseIds.from_numpy(out)
-                else:
-                    raise ValueError(f"unknown field kind {f.kind!r}")
-            yield batch
+        for f in self.fields:
+            arr = table.column(f.name)
+            if f.kind in ("numeric", "label"):
+                batch[f.name] = np.asarray(
+                    arr.to_numpy(zero_copy_only=False), np.float32)
+            elif f.kind == "id":
+                ids = np.asarray(
+                    arr.to_numpy(zero_copy_only=False),
+                    np.int64)[:, None] + f.key_offset
+                batch[f.name] = SparseIds.from_numpy(ids)
+            elif f.kind == "id_str":
+                from deeprec_tpu import native
+                toks = ["" if v is None else str(v) for v in arr.to_pylist()]
+                ids = native.hash_bytes(toks)[:, None] + f.key_offset
+                batch[f.name] = SparseIds.from_numpy(ids)
+            elif f.kind == "id_list":
+                pylist = arr.to_pylist()
+                out = np.full((n, f.max_len), keylib.EMPTY_ID, np.int64)
+                for r, row in enumerate(pylist):
+                    row = (row or [])[: f.max_len]
+                    if row:
+                        out[r, : len(row)] = np.asarray(
+                            row, np.int64) + f.key_offset
+                batch[f.name] = SparseIds.from_numpy(out)
+            else:
+                raise ValueError(f"unknown field kind {f.kind!r}")
+        return batch
+
+    # ------------------------------------------------------------- iter
 
     def __iter__(self) -> Iterator[Dict]:
         columns = [f.name for f in self.fields]
+        B = self.batch_size
+        bufs, buffered = [], 0
         for path in self.paths:
-            table = pq.read_table(path, columns=columns)
-            yield from self._convert(table)
+            pf = pq.ParquetFile(path)
+            for rb in pf.iter_batches(batch_size=B, columns=columns):
+                bufs.append(pa.Table.from_batches([rb]))
+                buffered += rb.num_rows
+                while buffered >= B:
+                    table = pa.concat_tables(bufs)
+                    yield self._one_batch(table.slice(0, B))
+                    tail = table.slice(B)
+                    bufs, buffered = [tail], tail.num_rows
+        if buffered and not self.drop_remainder:
+            table = pa.concat_tables(bufs)
+            for start in range(0, buffered, B):
+                yield self._one_batch(
+                    table.slice(start, min(B, buffered - start)))

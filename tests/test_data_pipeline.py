@@ -110,3 +110,51 @@ def test_parquet_dataset(tmp_path):
     h2 = keylib.join_ids(np.asarray(b2["hist"].hi).reshape(-1),
                          np.asarray(b2["hist"].lo).reshape(-1))
     np.testing.assert_array_equal(h2[3:], [4, 5, 6])
+
+
+def test_parquet_streams_across_files_and_row_groups(tmp_path):
+    """Batches carry across row-group and file boundaries (the
+    reference's parquet_batch_reader.cc streaming contract), and the
+    remainder is emitted iff drop_remainder=False."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from deeprec_tpu.data.parquet import Field, ParquetDataset
+
+    # 7 + 4 rows, tiny row groups (3) so batches of 5 must span both.
+    p1, p2 = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    pq.write_table(pa.table({"x": [float(i) for i in range(7)]}), p1,
+                   row_group_size=3)
+    pq.write_table(pa.table({"x": [float(i) for i in range(7, 11)]}), p2,
+                   row_group_size=3)
+
+    fields = [Field("x", "numeric")]
+    got = list(ParquetDataset([str(p1), str(p2)], fields, batch_size=5))
+    assert len(got) == 2
+    np.testing.assert_allclose(np.concatenate([b["x"] for b in got]),
+                               np.arange(10.0))
+    got = list(ParquetDataset([str(p1), str(p2)], fields, batch_size=5,
+                              drop_remainder=False))
+    assert [len(b["x"]) for b in got] == [5, 5, 1]
+    assert got[-1]["x"][0] == 10.0
+
+
+def test_parquet_string_id_column(tmp_path):
+    """'id_str' columns hash strings with the framework's hash_bytes
+    scheme — the DataFrame string-key path of the reference."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from deeprec_tpu import native
+    from deeprec_tpu.data.parquet import Field, ParquetDataset
+    from deeprec_tpu.utils import keys as keylib
+
+    p = tmp_path / "s.parquet"
+    pq.write_table(pa.table({"user": ["alice", "bob", "alice", None]}), p)
+    ds = ParquetDataset(str(p), [Field("user", "id_str")], batch_size=4)
+    (b,) = list(ds)
+    ids = keylib.join_ids(np.asarray(b["user"].hi).reshape(-1),
+                          np.asarray(b["user"].lo).reshape(-1))
+    exp = native.hash_bytes(["alice", "bob", "alice", ""])
+    np.testing.assert_array_equal(ids, exp)
+    assert ids[0] == ids[2] and ids[0] != ids[1]

@@ -224,7 +224,10 @@ def _campaign(names, steps, argv_tail):
     import os
     import subprocess
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = os.path.join(here, "ZOO_AUC.json")
+    # fp32 campaign (the bf16-vs-fp32 parity twin) keeps its own file;
+    # tools/zoo_delta.py merges the per-model deltas into ZOO_AUC.json.
+    fname = "ZOO_AUC_FP32.json" if "--fp32" in argv_tail else "ZOO_AUC.json"
+    out_path = os.path.join(here, fname)
     rows = []
     if os.path.exists(out_path):
         with open(out_path) as f:

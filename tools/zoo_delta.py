@@ -1,0 +1,44 @@
+"""Merge the fp32 zoo campaign (ZOO_AUC_FP32.json) into ZOO_AUC.json
+as per-model ``auc_fp32`` / ``bf16_fp32_delta`` fields.
+
+The reference's correctness bar is BF16-vs-FP32 AUC within ~0.002
+(``modelzoo/WDL/README.md`` acc/AUC table, SURVEY §6); this records
+that evidence per zoo model.  Run after:
+
+    python tools/zoo_auc.py all --cpu --fp32
+"""
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    with open(os.path.join(HERE, "ZOO_AUC.json")) as f:
+        main_doc = json.load(f)
+    with open(os.path.join(HERE, "ZOO_AUC_FP32.json")) as f:
+        fp32_doc = json.load(f)
+    fp32 = {r["metric"]: r for r in fp32_doc.get("models", [])
+            if "auc" in r}
+    n = 0
+    for row in main_doc.get("models", []):
+        twin = fp32.get(row.get("metric"))
+        if twin is None or "auc" not in row:
+            continue
+        row["auc_fp32"] = twin["auc"]
+        row["bf16_fp32_delta"] = round(abs(row["auc"] - twin["auc"]), 4)
+        n += 1
+    deltas = [r["bf16_fp32_delta"] for r in main_doc["models"]
+              if "bf16_fp32_delta" in r]
+    main_doc["bf16_fp32_max_delta"] = max(deltas) if deltas else None
+    with open(os.path.join(HERE, "ZOO_AUC.json"), "w") as f:
+        json.dump(main_doc, f, indent=1)
+    print(f"merged {n} fp32 twins; max |delta| = "
+          f"{main_doc['bf16_fp32_max_delta']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
