@@ -207,6 +207,26 @@ def main():
         print(json.dumps(out), flush=True)
         return
 
+    # Fail fast if the device backend is unreachable: on this
+    # environment a broken TPU tunnel makes backend init hang forever,
+    # which would otherwise burn the full per-row timeout three times.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].device_kind)"],
+            capture_output=True, text=True, timeout=300)
+        probe_err = (None if probe.returncode == 0 else
+                     (probe.stderr.strip() or "probe failed")[-200:])
+    except subprocess.TimeoutExpired:
+        probe_err = "backend init hang (300s)"
+    if probe_err is not None:
+        print(json.dumps({
+            "metric": "wdl_criteo_samples_per_sec", "value": 0.0,
+            "unit": "samples/s", "vs_baseline": 0.0,
+            "error": "device backend unreachable (tunnel down?): "
+                     + probe_err}))
+        sys.exit(1)
+
     # One subprocess per row: several multi-GB models in one process
     # push the backend into silent host-spill mode, and the tunneled
     # device is single-tenant — rows must run strictly sequentially.
