@@ -80,26 +80,43 @@ class KafkaDataset:
 
     def __iter__(self) -> Iterator[dict]:
         buf = []
+        # (topic, partition) -> offset of the first message in ``buf``
+        # from that partition.  Messages polled into a partial batch
+        # were consumed from the client but never delivered to the
+        # trainer; on exit the consumer is rewound to them so
+        # ``state()`` (and re-iteration) does not skip records at a
+        # save/resume boundary that isn't batch-aligned.
+        inflight: Dict[Tuple[str, int], int] = {}
         emitted = 0
         idle = 0
-        while True:
-            msg = self._consumer.poll(self._poll_timeout)
-            if msg is None or msg.error():
-                idle += 1
-                # Bounded iteration support: stop when drained and a
-                # batch budget was set (tests / bounded replay).
-                if self._max_batches is not None and idle >= 3:
-                    return
-                continue
-            idle = 0
-            buf.append(msg.value())
-            if len(buf) == self._batch_size:
-                yield self._parse(buf)
-                buf = []
-                emitted += 1
-                if (self._max_batches is not None
-                        and emitted >= self._max_batches):
-                    return
+        try:
+            while True:
+                msg = self._consumer.poll(self._poll_timeout)
+                if msg is None or msg.error():
+                    idle += 1
+                    # Bounded iteration support: stop when drained and a
+                    # batch budget was set (tests / bounded replay).
+                    if self._max_batches is not None and idle >= 3:
+                        return
+                    continue
+                idle = 0
+                buf.append(msg.value())
+                if self._native:
+                    inflight.setdefault(
+                        (msg.topic(), msg.partition()), msg.offset())
+                if len(buf) == self._batch_size:
+                    batch = self._parse(buf)
+                    buf = []
+                    inflight.clear()
+                    yield batch
+                    emitted += 1
+                    if (self._max_batches is not None
+                            and emitted >= self._max_batches):
+                        return
+        finally:
+            if self._native:
+                for (t, p), off in inflight.items():
+                    self._consumer.seek(t, p, off)
 
 
 class ReplayStream:

@@ -38,6 +38,14 @@ _ERR_UNKNOWN_TOPIC = 3
 _ERR_OFFSET_OUT_OF_RANGE = 1
 
 
+class MessageTooLarge(ValueError):
+    """A fetch returned bytes but no complete message: the first record
+    at the requested offset exceeds the client's ``max_bytes``.  The
+    consumer reacts by growing its fetch size (librdkafka's
+    ``fetch.message.max.bytes`` adaptation); surfacing it beats the
+    silent forever-retry loop a naive client falls into."""
+
+
 # ---------------------------------------------------------------- wire
 
 
@@ -297,7 +305,12 @@ class KafkaProtocolClient:
             return [], hwm
         if err != _ERR_NONE:
             raise ValueError(f"fetch error {err}")
-        return decode_message_set(mset), hwm
+        records = decode_message_set(mset)
+        if not records and len(mset) > 0:
+            raise MessageTooLarge(
+                f"first message at {topic}:{partition}@{offset} exceeds "
+                f"max_bytes={max_bytes}")
+        return records, hwm
 
 
 class NativeKafkaConsumer:
@@ -332,9 +345,17 @@ class NativeKafkaConsumer:
         self._client = KafkaProtocolClient(host, int(port or 9092),
                                            client_id)
         self._start_at = start_at
+        # _offsets = next offset to FETCH (internal, runs ahead of the
+        # app); _positions = next offset the APP has not yet received
+        # from poll().  Checkpoint state must use _positions: persisting
+        # fetch offsets would skip every record sitting in _buffer at
+        # save time.
         self._offsets: Dict[Tuple[str, int], int] = {}
+        self._positions: Dict[Tuple[str, int], int] = {}
         self._buffer: List[NativeKafkaConsumer._Msg] = []
         self._topics: List[str] = []
+        self._rr = 0                      # round-robin fetch start
+        self._max_bytes = 1 << 20         # grows on MessageTooLarge
 
     def subscribe(self, topics: Sequence[str]):
         self._topics = list(topics)
@@ -342,26 +363,60 @@ class NativeKafkaConsumer:
         for t, parts in meta.items():
             for p in parts:
                 self._offsets.setdefault((t, p), 0)
+                self._positions.setdefault((t, p), 0)
 
     def poll(self, timeout: float = 1.0):
         if self._buffer:
-            return self._buffer.pop(0)
+            msg = self._buffer.pop(0)
+            self._positions[(msg.topic(), msg.partition())] = \
+                msg.offset() + 1
+            return msg
         wait_ms = max(1, int(timeout * 1000))
-        for (t, p), off in list(self._offsets.items()):
-            records, _ = self._client.fetch(t, p, off,
-                                            max_wait_ms=wait_ms)
+        # True round-robin: rotate the starting partition across polls
+        # so a partition with steady backlog cannot starve the others.
+        parts = list(self._offsets.items())
+        if not parts:
+            return None
+        start = self._rr % len(parts)
+        order = parts[start:] + parts[:start]
+        for i, ((t, p), off) in enumerate(order):
+            while True:
+                try:
+                    records, _ = self._client.fetch(
+                        t, p, off, max_bytes=self._max_bytes,
+                        max_wait_ms=wait_ms)
+                    break
+                except MessageTooLarge:
+                    # Grow the fetch budget until the record fits;
+                    # caps at 1 GiB to keep a corrupt size field from
+                    # ballooning memory.
+                    if self._max_bytes >= (1 << 30):
+                        raise
+                    self._max_bytes *= 2
             for roff, _key, value in records:
                 self._buffer.append(self._Msg(value, t, p, roff))
             if records:
                 self._offsets[(t, p)] = records[-1][0] + 1
-                break  # round-robin-ish: drain one partition per poll
-        return self._buffer.pop(0) if self._buffer else None
+                # Next poll starts at the partition AFTER this one.
+                self._rr = (start + i + 1) % len(parts)
+                break  # drain one partition per poll
+        if not self._buffer:
+            return None
+        msg = self._buffer.pop(0)
+        self._positions[(msg.topic(), msg.partition())] = msg.offset() + 1
+        return msg
 
     def position(self) -> Dict[Tuple[str, int], int]:
-        return dict(self._offsets)
+        """Next offset the application has NOT yet consumed, per
+        partition — the resume point a checkpoint must record."""
+        return dict(self._positions)
 
     def seek(self, topic: str, partition: int, offset: int):
         self._offsets[(topic, partition)] = offset
+        self._positions[(topic, partition)] = offset
+        # Fetched-not-consumed messages for this partition are stale.
+        self._buffer = [m for m in self._buffer
+                        if (m.topic(), m.partition()) != (topic, partition)]
 
     def close(self):
         self._client.close()
@@ -523,6 +578,13 @@ class MiniKafkaBroker:
                         break
                     r2._take(sz)
                     taken += 12 + sz
+                if taken == 0 and chunk:
+                    # First message alone exceeds max_bytes: real Kafka
+                    # sends a PARTIAL message (the client sees bytes but
+                    # decodes zero records and grows its fetch size).
+                    # Sending an empty set instead would make the
+                    # consumer spin at this offset forever.
+                    taken = max_bytes
                 mset = mset[:taken]
             w.string(topic)
             w.i32(1)

@@ -110,6 +110,116 @@ def test_consumer_multi_partition_and_seek(broker):
     cons.close()
 
 
+def test_position_tracks_consumed_not_fetched(broker):
+    """``position()`` is the checkpoint resume point: it must advance
+    with messages DELIVERED by poll(), not with the internal fetch
+    offset (one fetch buffers many messages ahead of the app)."""
+    prod = KafkaProtocolClient(broker.host, broker.port)
+    prod.produce("pos", 0, [(None, f"{i}".encode()) for i in range(5)])
+    prod.close()
+
+    cons = NativeKafkaConsumer(broker.bootstrap)
+    cons.subscribe(["pos"])
+    msg = cons.poll(0.05)          # one fetch buffers all 5, delivers #0
+    assert msg.value() == b"0"
+    assert cons.position()[("pos", 0)] == 1      # NOT 5
+    assert cons.poll(0.05).value() == b"1"
+    assert cons.position()[("pos", 0)] == 2
+    cons.close()
+
+
+def test_seek_discards_buffered_messages(broker):
+    prod = KafkaProtocolClient(broker.host, broker.port)
+    prod.produce("sk", 0, [(None, f"{i}".encode()) for i in range(4)])
+    prod.close()
+
+    cons = NativeKafkaConsumer(broker.bootstrap)
+    cons.subscribe(["sk"])
+    assert cons.poll(0.05).value() == b"0"       # #1..#3 now buffered
+    cons.seek("sk", 0, 0)
+    # Stale buffered messages must not leak past the rewind.
+    assert cons.poll(0.05).value() == b"0"
+    cons.close()
+
+
+def test_oversized_message_grows_fetch_budget(broker):
+    """A record larger than the consumer's fetch budget must be
+    delivered by growing the budget (librdkafka adaptation), not spun
+    on forever."""
+    big = bytes(3 << 20)                         # 3 MiB > 1 MiB default
+    prod = KafkaProtocolClient(broker.host, broker.port)
+    prod.produce("big1", 0, [(None, big), (None, b"after")])
+    prod.close()
+
+    # Raw client surfaces the condition as a typed error...
+    from deeprec_tpu.data.kafka_protocol import MessageTooLarge
+    c = KafkaProtocolClient(broker.host, broker.port)
+    with pytest.raises(MessageTooLarge):
+        c.fetch("big1", 0, 0, max_bytes=1 << 20)
+    c.close()
+
+    # ...and the consumer recovers transparently.
+    cons = NativeKafkaConsumer(broker.bootstrap)
+    cons.subscribe(["big1"])
+    vals = [m.value() for m in (cons.poll(0.05) for _ in range(6))
+            if m is not None]
+    assert big in vals and b"after" in vals
+    cons.close()
+
+
+def test_poll_rotates_partitions_under_backlog(broker):
+    """A partition with a standing backlog must not starve its peers:
+    the fetch start rotates round-robin across polls."""
+    prod = KafkaProtocolClient(broker.host, broker.port)
+    prod.produce("rr", 0, [(None, b"a0")])
+    prod.produce("rr", 1, [(None, b"b0")])
+
+    cons = NativeKafkaConsumer(broker.bootstrap)
+    cons.subscribe(["rr"])
+    first = cons.poll(0.05).value()
+    # Replenish partition 0 so it ALWAYS has data; rotation means the
+    # next fetch still starts at the other partition.
+    prod.produce("rr", 0, [(None, b"a1"), (None, b"a2")])
+    seen = {first}
+    for _ in range(4):
+        m = cons.poll(0.05)
+        if m is not None:
+            seen.add(m.value())
+        if b"a0" in seen and b"b0" in seen:
+            break
+    assert {b"a0", b"b0"} <= seen, seen
+    prod.close()
+    cons.close()
+
+
+def test_kafka_dataset_partial_batch_rewind(broker):
+    """Messages polled into a never-yielded partial batch are rewound
+    on iterator exit, so save/resume at a non-batch-aligned boundary
+    loses no records."""
+    prod = KafkaProtocolClient(broker.host, broker.port)
+    prod.produce("pb", 0, [(None, f"{i}".encode()) for i in range(6)])
+    prod.close()
+
+    parse = lambda msgs: {"x": np.array([int(m) for m in msgs])}
+    ds = KafkaDataset(["pb"], "g", broker.bootstrap, batch_size=4,
+                      parse=parse, poll_timeout=0.05, max_batches=2)
+    batches = list(ds)        # one full batch; 2 stragglers buffered
+    assert len(batches) == 1
+    assert sorted(batches[0]["x"].tolist()) == [0, 1, 2, 3]
+
+    state = ds.state()
+    ds.close()
+    prod = KafkaProtocolClient(broker.host, broker.port)
+    prod.produce("pb", 0, [(None, b"6"), (None, b"7")])
+    prod.close()
+    ds2 = KafkaDataset(["pb"], "g", broker.bootstrap, batch_size=4,
+                       parse=parse, poll_timeout=0.05, max_batches=1)
+    ds2.restore_state(state)
+    (b2,) = list(ds2)
+    assert sorted(b2["x"].tolist()) == [4, 5, 6, 7]
+    ds2.close()
+
+
 def test_kafka_dataset_batches_and_resume(broker):
     prod = KafkaProtocolClient(broker.host, broker.port)
     prod.produce("s", 0, [(None, f"{i}".encode()) for i in range(8)])
