@@ -174,18 +174,36 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64):
     # Stragglers (not found, no EMPTY proof in the fast window) rescan
     # at full width over a COMPACTED fixed-size buffer — [M, W] instead
     # of [n, W], so the wide gather stays ~n/8 of the fast one even
-    # when a handful of long probe chains exist in every batch.
+    # when a handful of long probe chains exist in every batch.  The
+    # buffer is drained in a while_loop: one wide scan settles every id
+    # it covers (found, or concluded absent at full width), so each
+    # round retires up to M ids and the loop runs zero iterations when
+    # the fast pass resolved everything.  A single capped pass would
+    # silently mis-report ids beyond M as missing at high load.
     unresolved = ~is_sentinel & ~found & ~saw_empty
     M = _straggler_budget(n)
-    idx = _compact(unresolved, n, M)
-    pad = idx >= n
-    safe = jnp.minimum(idx, n - 1)
-    f2, fs2, _, _, _ = _scan(
-        table.key_pair,
-        jnp.where(pad, keylib.EMPTY_HI, qhi[safe]),
-        jnp.where(pad, keylib.EMPTY_LO, qlo[safe]),
-        jnp.where(pad, 0, buckets[safe]), max_probes)
-    return slots.at[idx].set(jnp.where(f2, fs2, capacity), mode="drop")
+
+    def cond(state):
+        _, pending = state
+        return jnp.any(pending)
+
+    def body(state):
+        slots, pending = state
+        idx = _compact(pending, n, M)       # padding = n (OOB => drop)
+        pad = idx >= n
+        safe = jnp.minimum(idx, n - 1)
+        f2, fs2, _, _, _ = _scan(
+            table.key_pair,
+            jnp.where(pad, keylib.EMPTY_HI, qhi[safe]),
+            jnp.where(pad, keylib.EMPTY_LO, qlo[safe]),
+            jnp.where(pad, 0, buckets[safe]), max_probes)
+        slots = slots.at[idx].set(
+            jnp.where(f2, fs2, capacity), mode="drop")
+        pending = pending.at[idx].set(False, mode="drop")
+        return slots, pending
+
+    slots, _ = jax.lax.while_loop(cond, body, (slots, unresolved))
+    return slots
 
 
 def find_or_insert(
