@@ -637,6 +637,14 @@ class TieredGroup:
             st = cfg.ev_option.storage_option
             if st.storage_type in (_cfg.StorageType.HBM_HOST,
                                    _cfg.StorageType.HBM_HOST_DISK):
+                if (self.S > 1 and not group._is_stacked(tname)):
+                    # A replicated-placement table has no shard axis to
+                    # walk — and multi-tier makes no sense for a table
+                    # small enough to replicate (the planner replicates
+                    # only tables that fit comfortably in HBM).
+                    raise ValueError(
+                        f"table {tname}: multi-tier storage requires "
+                        "'sharded' placement on a sharded group")
                 def template(s):
                     if self.S == 1:
                         return slot_states[tname]
@@ -700,7 +708,11 @@ class TieredGroup:
                 continue
             owner = keylib.shard_of_np(ids, self.S) if ids.size else ids
             for s, tiered in enumerate(tlist):
-                if len(tiered.host) == 0:
+                n_cold = len(tiered.cold) if tiered.cold is not None else 0
+                if len(tiered.host) + n_cold == 0:
+                    # Nothing demoted anywhere (warm OR disk) for this
+                    # shard — skipping only on an empty warm tier would
+                    # orphan trained rows paged down to disk.
                     continue
                 cand = ids[owner == s]
                 state_s = self._slice(ts.ev[tname], s)
@@ -752,6 +764,8 @@ class TieredGroup:
                 agg.demoted += t.stats.demoted
                 agg.spill_rows += t.stats.spill_rows
                 agg.hbm_live += t.stats.hbm_live
+                agg.disk_rows += t.stats.disk_rows
+                agg.paged_down += t.stats.paged_down
             out[n] = agg
         return out
 

@@ -161,6 +161,95 @@ def combine(owner_rows, sbl_or_routing, combiner: str, *, axis_name: str):
     return lkup.combine_bags(local_rows, r.inverse, r.mask, combiner)
 
 
+def _psum_gather(x, axis_name):
+    """All-gather as a psum of a one-hot-placed buffer: [n] -> [S*n]
+    with device i's data in rows [i*n, (i+1)*n).
+
+    Functionally ``jax.lax.all_gather(x, axis, tiled=True)``, but JAX's
+    varying-mesh-axes checker conservatively marks all_gather output as
+    device-varying, which would poison the replicated table's whole
+    state-update chain; ``psum`` output is provably invariant, letting
+    shard_map verify that replicas stay identical (out_spec P()).  XLA
+    lowers the sum-of-disjoint-slices to a plain all-reduce on ICI.
+    """
+    S = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    buf = jnp.zeros((S,) + x.shape, x.dtype).at[i].set(x)
+    return jax.lax.psum(buf, axis_name).reshape((-1,) + x.shape[1:])
+
+
+class RepRouting(NamedTuple):
+    """Routing metadata for a REPLICATED table's lookup (no exchange)."""
+
+    union_of_local: jax.Array  # [n] local-unique -> union-unique index
+    inverse: jax.Array         # [B, L] local occurrence -> local unique
+    mask: jax.Array            # [B, L] non-padding positions
+
+
+def bag_lookup_train_replicated(
+    cfg: cfglib.TableConfig,
+    state: ev.EVState,
+    ids_hi,
+    ids_lo,
+    global_step,
+    *,
+    axis_name: str,
+    salt: int = 0,
+) -> tuple[ev.EVState, tuple[ev.LookupResult, RepRouting]]:
+    """Training lookup for a table REPLICATED across the mesh axis.
+
+    The placement counterpart of :func:`bag_lookup_train` for small/hot
+    tables (the RecShard/DreamShard placement insight: sharding a table
+    that fits everywhere trades two all-to-alls + skew-overflow risk for
+    nothing).  Every device holds the full table; replicas stay
+    bit-identical because every device performs the SAME state mutation:
+
+      1. all-gather each device's locally-unique ids + counts (identical
+         result everywhere),
+      2. dedup the union and sum counts per union id,
+      3. ``ev.lookup_train`` over the union — identical insert/metadata
+         update on every replica.
+
+    Gradients: the union rows returned here are the differentiable
+    input.  They are device-INVARIANT (P() state, psum-gathered ids),
+    so shard_map's autodiff transposes the invariant->varying broadcast
+    into a psum automatically: the cotangent each replica receives is
+    already the full-batch row gradient.  Callers must NOT psum it
+    again.
+
+    There is no send-buffer capacity factor: no ids ever overflow, which
+    also removes the skew hazard entirely for these tables.
+    """
+    B, L = ids_hi.shape
+    n = B * L
+    dd = lkup.dedup(ids_hi.reshape(-1), ids_lo.reshape(-1))
+    ghi = _psum_gather(dd.uhi, axis_name)                      # [S*n]
+    glo = _psum_gather(dd.ulo, axis_name)
+    gcnt = _psum_gather(dd.counts, axis_name)
+    ddo = lkup.dedup(ghi, glo)
+    csum = jax.ops.segment_sum(gcnt, ddo.inverse,
+                               num_segments=ghi.shape[0])
+    state, lk = ev.lookup_train(
+        cfg, state, ddo.uhi, ddo.ulo, csum, global_step, salt=salt)
+    # Local unique j sits at gathered position axis_index*n + j.
+    pos = jax.lax.axis_index(axis_name) * n + jnp.arange(n, dtype=jnp.int32)
+    routing = RepRouting(
+        union_of_local=ddo.inverse[pos],
+        inverse=dd.inverse.reshape(B, L),
+        mask=~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO)),
+    )
+    return state, (lk, routing)
+
+
+def combine_replicated(union_rows, routing: RepRouting, combiner: str):
+    """Bag-combine for a replicated table: slice this device's rows out
+    of the union (no return exchange) and reduce. Differentiable in
+    ``union_rows``."""
+    local_rows = union_rows[routing.union_of_local]
+    return lkup.combine_bags(local_rows, routing.inverse, routing.mask,
+                             combiner)
+
+
 def per_peer_slots(n: int, num_shards: int, capacity_factor: float) -> int:
     """K-sizing shared by every sharded exchange (train/infer/eval):
     per-peer send-buffer slots for ``n`` local ids, rounded to a

@@ -153,7 +153,9 @@ class EmbeddingGroup:
                  axis_name: Optional[str] = None,
                  num_shards: int = 1,
                  capacity_factor: float = 2.0,
-                 coalesce: bool = False):
+                 coalesce: bool = False,
+                 placement: Any = None,
+                 replicate_threshold: int = 4 << 20):
         self.numeric = [c for c in columns
                         if isinstance(c, NumericColumn)]
         self.embedding = [c for c in columns
@@ -164,6 +166,21 @@ class EmbeddingGroup:
         self.tables: Dict[str, cfglib.TableConfig] = {}
         self.salts: Dict[str, int] = {}
         self._pack_widths = None
+        # Per-physical-table placement over the mesh axis (the
+        # RecShard/DreamShard table-placement role — PAPERS.md):
+        #   "sharded"    row-shard + all-to-all exchange (default), the
+        #                only option for tables too big for one device;
+        #   "replicated" every device holds the full table — no
+        #                exchange, no skew overflow; replicas stay
+        #                bit-identical via union lookups + psum'd row
+        #                grads (``sharded.bag_lookup_train_replicated``).
+        # ``placement`` is None (all sharded), "auto" (replicate any
+        # table whose full footprint fits ``replicate_threshold``
+        # bytes), or a dict {logical or physical table name:
+        # "replicated"|"sharded"}.
+        self._placement_req = placement
+        self._replicate_threshold = int(replicate_threshold)
+        self.placement: Dict[str, str] = {}
         # Logical table -> (physical table, id salt). Identity unless
         # coalescing merges compatible tables (``coalesced_utils.py``
         # role): one dedup/probe/apply pipeline per *physical* table per
@@ -196,7 +213,7 @@ class EmbeddingGroup:
                     logical.pop(name), hc)
                 self._phys_of[name] = (name, 0)
                 self._add_table(base_cfg)
-                self._add_table(hot_cfg)
+                self._add_table(hot_cfg, inherit=base_cfg.name)
                 self._dyn_hot[name] = hot_cfg.name
         if coalesce:
             groups: Dict[tuple, list] = {}
@@ -235,18 +252,62 @@ class EmbeddingGroup:
                     # alias any member.
                     self._phys_of[name] = (phys_name,
                                            _member_salt(i))
-                self._add_table(phys)
+                self._add_table(phys,
+                                members=[n for n, _ in members])
         else:
             for name, tc in logical.items():
                 self._phys_of[name] = (name, 0)
                 self._add_table(tc)
 
-    def _add_table(self, tc: cfglib.TableConfig):
-        if self.num_shards > 1:
+    def _resolve_placement(self, tc: cfglib.TableConfig,
+                           members=None, inherit: Optional[str] = None
+                           ) -> str:
+        req = self._placement_req
+        if self.num_shards <= 1 or req is None:
+            return "sharded"
+        if isinstance(req, dict):
+            if tc.name in req:
+                return req[tc.name]
+            if members:
+                votes = {req[m] for m in members if m in req}
+                if len(votes) == 1:
+                    return votes.pop()
+                return "sharded"
+            if inherit is not None and inherit in self.placement:
+                return self.placement[inherit]
+            return "sharded"
+        if req == "auto":
+            # Full-table per-device footprint: values (dim f32) +
+            # worst-case two row-aligned slot arrays + keys/freqs/
+            # versions (16 B). Replicating costs this much HBM on every
+            # device; in exchange the table's two all-to-alls and its
+            # skew-overflow exposure disappear.
+            bytes_full = tc.capacity * (tc.dim * 4 * 3 + 16)
+            return ("replicated"
+                    if bytes_full <= self._replicate_threshold
+                    else "sharded")
+        raise ValueError(f"unknown placement {req!r}")
+
+    def _add_table(self, tc: cfglib.TableConfig, members=None,
+                   inherit: Optional[str] = None):
+        place = self._resolve_placement(tc, members=members,
+                                        inherit=inherit)
+        if self.num_shards > 1 and place == "sharded":
             tc = dataclasses.replace(
                 tc, capacity=max(8, tc.capacity // self.num_shards))
+        self.placement[tc.name] = place
         self.salts[tc.name] = len(self.tables) + 1
         self.tables[tc.name] = tc
+
+    def _is_stacked(self, tname: str) -> bool:
+        """True when this table's state carries the leading [S] shard
+        axis (sharded placement on a >1-shard group)."""
+        return (self.num_shards > 1
+                and self.placement.get(tname, "sharded") == "sharded")
+
+    def placement_plan(self) -> Dict[str, str]:
+        """Resolved per-physical-table placement (observability)."""
+        return dict(self.placement)
 
     def physical_table_of(self, column: "EmbeddingColumn") -> str:
         return self._phys_of[column.table_name][0]
@@ -347,6 +408,14 @@ class EmbeddingGroup:
         sid = []
         for c in tcols:
             s = batch[c.name]
+            if not isinstance(s, SparseIds):
+                raise TypeError(
+                    f"column {c.name!r}: expected SparseIds, got "
+                    f"{type(s).__name__}. Convert raw id arrays on "
+                    "host with group.pack_batch_np(batch) (the "
+                    "production fast path) or SparseIds.from_numpy — "
+                    "int64 ids cannot be split safely inside jit "
+                    "(x64 is disabled).")
             hi, lo = self.transform_ids(c, s.hi, s.lo)
             sid.append(SparseIds(hi, lo))
         widths = [s.hi.shape[1] for s in sid]
@@ -372,23 +441,24 @@ class EmbeddingGroup:
 
     # -- state ----------------------------------------------------------
     def create_state(self) -> Dict[str, ev.EVState]:
-        if self.num_shards > 1:
-            return {n: sharded.create_stacked(c, self.num_shards,
-                                              salt=self.salts[n])
-                    for n, c in self.tables.items()}
-        return {n: ev.create(c, salt=self.salts[n])
-                for n, c in self.tables.items()}
+        return {
+            n: (sharded.create_stacked(c, self.num_shards,
+                                       salt=self.salts[n])
+                if self._is_stacked(n)
+                else ev.create(c, salt=self.salts[n]))
+            for n, c in self.tables.items()
+        }
 
     def init_optimizer(self, opt) -> Dict[str, Any]:
-        slots = {n: opt.init(c) for n, c in self.tables.items()}
-        if self.num_shards > 1:
-            slots = {
-                n: jax.tree.map(
+        out = {}
+        for n, c in self.tables.items():
+            s = opt.init(c)
+            if self._is_stacked(n):
+                s = jax.tree.map(
                     lambda x: jnp.broadcast_to(
                         x[None], (self.num_shards,) + x.shape), s)
-                for n, s in slots.items()
-            }
-        return slots
+            out[n] = s
+        return out
 
     # -- lookup (call inside jit / shard_map) ----------------------------
     def lookup_train(self, states, batch, global_step):
@@ -403,10 +473,12 @@ class EmbeddingGroup:
         by_table: Dict[str, list] = {}
         for c in self.embedding:
             by_table.setdefault(self.physical_table_of(c), []).append(c)
-        for tname, tcols in by_table.items():
-            cfg = self.tables[tname]
-            ids_hi, ids_lo, widths = self._packed_view(batch, tname, tcols)
-            if self.axis_name is not None:
+
+        def _table_lookup(tname, cfg, ids_hi, ids_lo):
+            """One physical table's lookup under its placement. Updates
+            ``new_states[tname]``/``lks[tname]``; returns (routing,
+            inverse, mask)."""
+            if self.axis_name is not None and self._is_stacked(tname):
                 local = sharded.local_of(new_states[tname])
                 local, sbl = sharded.bag_lookup_train(
                     cfg, local, ids_hi, ids_lo, global_step,
@@ -415,15 +487,28 @@ class EmbeddingGroup:
                     salt=self.salts[tname])
                 new_states[tname] = sharded.stacked_of(local)
                 lks[tname] = sbl.lk
-                routing = sbl.routing
-                inverse, mask = routing.inverse, routing.mask
-            else:
-                new_states[tname], bl = lkup.bag_lookup_train(
+                r = sbl.routing
+                return r, r.inverse, r.mask
+            if (self.axis_name is not None
+                    and self.placement.get(tname) == "replicated"):
+                st, (lk, r) = sharded.bag_lookup_train_replicated(
                     cfg, new_states[tname], ids_hi, ids_lo, global_step,
-                    salt=self.salts[tname])
-                lks[tname] = bl.lk
-                routing = None
-                inverse, mask = bl.inverse, bl.mask
+                    axis_name=self.axis_name, salt=self.salts[tname])
+                new_states[tname] = st
+                lks[tname] = lk
+                return r, r.inverse, r.mask
+            st, bl = lkup.bag_lookup_train(
+                cfg, new_states[tname], ids_hi, ids_lo, global_step,
+                salt=self.salts[tname])
+            new_states[tname] = st
+            lks[tname] = bl.lk
+            return None, bl.inverse, bl.mask
+
+        for tname, tcols in by_table.items():
+            cfg = self.tables[tname]
+            ids_hi, ids_lo, widths = self._packed_view(batch, tname, tcols)
+            routing, inverse, mask = _table_lookup(tname, cfg,
+                                                   ids_hi, ids_lo)
             off = 0
             for c, w in zip(tcols, widths):
                 cols[c.name] = ColumnLookup(
@@ -439,24 +524,8 @@ class EmbeddingGroup:
                 # results land under "<col>#hot" and are concatenated
                 # back in :meth:`combine`.
                 hcfg = self.tables[hname]
-                if self.axis_name is not None:
-                    hlocal = sharded.local_of(new_states[hname])
-                    hlocal, hsbl = sharded.bag_lookup_train(
-                        hcfg, hlocal, ids_hi, ids_lo, global_step,
-                        axis_name=self.axis_name,
-                        capacity_factor=self.capacity_factor,
-                        salt=self.salts[hname])
-                    new_states[hname] = sharded.stacked_of(hlocal)
-                    lks[hname] = hsbl.lk
-                    hrouting = hsbl.routing
-                    hinv, hmask = hrouting.inverse, hrouting.mask
-                else:
-                    new_states[hname], hbl = lkup.bag_lookup_train(
-                        hcfg, new_states[hname], ids_hi, ids_lo,
-                        global_step, salt=self.salts[hname])
-                    lks[hname] = hbl.lk
-                    hrouting = None
-                    hinv, hmask = hbl.inverse, hbl.mask
+                hrouting, hinv, hmask = _table_lookup(hname, hcfg,
+                                                      ids_hi, ids_lo)
                 off = 0
                 for c, w in zip(tcols, widths):
                     cols[c.name + "#hot"] = ColumnLookup(
@@ -477,10 +546,10 @@ class EmbeddingGroup:
         # In sharded mode, exchange each table's owner rows back once.
         local_rows: Dict[str, jax.Array] = {}
         for tname, lk in gl.lks.items():
-            if self.axis_name is not None:
-                anycol = next(cl for cl in gl.columns.values()
-                              if cl.table_name == tname)
-                r = anycol.routing
+            anycol = next(cl for cl in gl.columns.values()
+                          if cl.table_name == tname)
+            r = anycol.routing
+            if isinstance(r, sharded.Routing):
                 SK = r.owner_inverse.shape[0]
                 S = jax.lax.axis_size(self.axis_name)
                 dim = rows[tname].shape[-1]
@@ -491,6 +560,10 @@ class EmbeddingGroup:
                 back = jnp.concatenate(
                     [back, jnp.zeros((1, dim), back.dtype)], axis=0)
                 local_rows[tname] = back[r.dest]
+            elif isinstance(r, sharded.RepRouting):
+                # Replicated table: this device's rows are a slice of
+                # the union — no return exchange.
+                local_rows[tname] = rows[tname][r.union_of_local]
             else:
                 local_rows[tname] = rows[tname]
         for cname, cl in gl.columns.items():
@@ -522,16 +595,22 @@ class EmbeddingGroup:
         new_states = dict(states)
         for tname, g in grad_rows.items():
             cfg = self.tables[tname]
-            if self.num_shards > 1:
+            stacked = self._is_stacked(tname)
+            if stacked:
                 st = sharded.local_of(new_states[tname])
                 sl = jax.tree.map(lambda x: x[0], new_slots[tname])
             else:
                 st = new_states[tname]
                 sl = new_slots[tname]
+                # Replicated placement needs NO explicit psum on ``g``:
+                # the union rows are device-invariant (P() state +
+                # psum-gathered ids), so shard_map's autodiff already
+                # psums their cotangent across the axis — ``g`` arrives
+                # as the full-batch gradient on every replica.
             sl, values = opt.apply(cfg, sl, st.values, gl.lks[tname], g,
                                    global_step, lr=lr)
             st = st.replace(values=values)
-            if self.num_shards > 1:
+            if stacked:
                 new_states[tname] = sharded.stacked_of(st)
                 new_slots[tname] = jax.tree.map(lambda x: x[None], sl)
             else:
@@ -544,7 +623,7 @@ class EmbeddingGroup:
         shrink)."""
         out = {}
         for tname, cfg in self.tables.items():
-            if self.num_shards > 1:
+            if self._is_stacked(tname):
                 shards = []
                 host = states[tname]
                 for s in range(self.num_shards):
@@ -564,7 +643,8 @@ class EmbeddingGroup:
         tot = jnp.int32(0)
         seen = set()
         for cl in gl.columns.values():
-            if cl.routing is not None and cl.table_name not in seen:
+            if (isinstance(cl.routing, sharded.Routing)
+                    and cl.table_name not in seen):
                 seen.add(cl.table_name)
                 tot = tot + cl.routing.n_overflow
         return tot

@@ -138,12 +138,13 @@ class CheckpointManager:
 
     # -- helpers ---------------------------------------------------------
     def _table_shards(self, ts: TrainState, tname: str):
-        """Yield (EVState, slot_tree) per shard (host-side)."""
-        S = self.group.num_shards
+        """Yield (EVState, slot_tree) per shard (host-side). A table
+        with replicated placement has no shard axis — one yield of the
+        full (replica-identical) table."""
         state = jax.device_get(ts.ev[tname])
         slots = jax.device_get(ts.slots[tname])
-        if S > 1:
-            for s in range(S):
+        if self.group._is_stacked(tname):
+            for s in range(self.group.num_shards):
                 yield (jax.tree.map(lambda x: x[s], state),
                        jax.tree.map(lambda x: x[s], slots))
         else:
@@ -230,6 +231,13 @@ class CheckpointManager:
             "kind": kind,
             "since_step": since_step,
             "num_shards": self.group.num_shards,
+            # Per-table file counts: replicated-placement tables save
+            # one file regardless of the group's shard count.
+            "table_shards": {
+                t: (self.group.num_shards
+                    if self.group._is_stacked(t) else 1)
+                for t in self.group.tables
+            },
             "tables": sorted(self.group.tables),
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -317,16 +325,17 @@ class CheckpointManager:
             if blob:
                 self._tiered.import_spill(blob)
 
-        S_new = self.group.num_shards
         new_ev = dict(ts.ev)
         new_slots = dict(ts.slots)
         for tname, cfg in self.group.tables.items():
+            S_saved = meta.get("table_shards", {}).get(
+                tname, meta["num_shards"])
             # Merge all saved shards of this table into one host list.
             merged: Dict[str, list] = {}
             scalars: Dict[str, np.ndarray] = {}
             bloom = None
             tombs = None
-            for si in range(meta["num_shards"]):
+            for si in range(S_saved):
                 f = os.path.join(path, f"table-{tname}-s{si}.npz")
                 if not os.path.exists(f):
                     continue
@@ -351,7 +360,7 @@ class CheckpointManager:
                     extra_targets=rows)
                 # Write scalar slot leaves + re-assemble slot pytree.
                 sl2 = _set_leaves(sl, rows2, scalars)
-                if bloom is not None and pnum == meta["num_shards"]:
+                if bloom is not None and pnum == S_saved:
                     st2 = st2.replace(bloom=jnp.asarray(bloom))
                 if tombs is not None and tombs.size:
                     # Deletions recorded since the base full save —
@@ -361,7 +370,8 @@ class CheckpointManager:
                     st2 = ev.delete_keys(cfg, st2, tombs)
                 return st2, sl2
 
-            if S_new > 1:
+            if self.group._is_stacked(tname):
+                S_new = self.group.num_shards
                 host_ev = jax.device_get(new_ev[tname])
                 host_sl = jax.device_get(new_slots[tname])
                 st_shards, sl_shards = [], []

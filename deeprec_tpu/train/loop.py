@@ -47,14 +47,20 @@ def create_train_state(group: EmbeddingGroup, params, dense_tx,
     )
 
 
-def _spec_tree(ts: TrainState, axis: str):
-    """shard_map in/out specs: EV + slots sharded on the axis, the rest
-    replicated."""
-    shard = lambda tree: jax.tree.map(lambda _: P(axis), tree)
+def _spec_tree(ts: TrainState, group: EmbeddingGroup):
+    """shard_map in/out specs: sharded-placement EV + slots carry the
+    mesh axis on their leading shard dim; replicated-placement tables
+    (``group.placement``) and dense params are replicated."""
+    axis = group.axis_name
     rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+    per_table = lambda sub: {
+        n: jax.tree.map(
+            lambda _: P(axis) if group._is_stacked(n) else P(), t)
+        for n, t in sub.items()
+    }
     return TrainState(
         params=rep(ts.params), dense_opt=rep(ts.dense_opt),
-        ev=shard(ts.ev), slots=shard(ts.slots), step=P())
+        ev=per_table(ts.ev), slots=per_table(ts.slots), step=P())
 
 
 def make_train_step(
@@ -141,7 +147,12 @@ def make_train_step(
                 (mb_batches, inv_masks))
             out = None
         if axis is not None:
-            gparams = jax.lax.psum(gparams, axis)
+            # NO explicit psum on gparams: params enter shard_map with
+            # spec P() (device-invariant), and shard_map's autodiff
+            # transposes the invariant->varying broadcast into a psum —
+            # the cotangent already IS the global-batch gradient.  An
+            # explicit psum here would scale dense grads by axis_size
+            # (caught by test_placement's exact mesh-vs-single match).
             loss = jax.lax.psum(loss, axis)
         updates, dopt = dense_tx.update(gparams, ts.dense_opt, ts.params)
         params = optax.apply_updates(ts.params, updates)
@@ -163,7 +174,7 @@ def make_train_step(
         return jax.jit(_step, donate_argnums=(0,) if donate else ())
 
     def wrapped(ts, batch):
-        specs = _spec_tree(ts, axis)
+        specs = _spec_tree(ts, group)
         batch_specs = jax.tree.map(lambda _: P(axis), batch)
         return jax.shard_map(
             _step, mesh=mesh,
@@ -240,18 +251,19 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
             import deeprec_tpu.utils.keys as keylib
             mask = ~((ids_hi == keylib.EMPTY_HI)
                      & (ids_lo == keylib.EMPTY_LO))
-            if axis is not None:
-                state = shlib.local_of(ts.ev[tname])
-            else:
-                state = ts.ev[tname]
+            stacked = group._is_stacked(tname)
+            state = (shlib.local_of(ts.ev[tname]) if stacked
+                     else ts.ev[tname])
             B, L = ids_hi.shape
-            if axis is not None:
+            if stacked:
                 # Shared sharded read path (the bag_lookup_infer core) —
                 # returns per-unique rows + inverse for column slicing.
                 local_rows, inverse, _ = shlib.lookup_rows_infer(
                     cfg, state, ids_hi, ids_lo, axis_name=axis,
                     capacity_factor=group.capacity_factor)
             else:
+                # Unsharded or replicated placement: the full table is
+                # local — plain lookup, no collective.
                 local_rows = ev.lookup(cfg, state, ids_hi.reshape(-1),
                                        ids_lo.reshape(-1))
                 inverse = jnp.arange(B * L).reshape(B, L)
@@ -273,7 +285,7 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
                 # same ids and concatenate (cold keys read defaults =
                 # zeros there).
                 hcfg = group.tables[hname]
-                if axis is not None:
+                if group._is_stacked(hname):
                     hstate = shlib.local_of(ts.ev[hname])
                     hrows, hinv, _ = shlib.lookup_rows_infer(
                         hcfg, hstate, ids_hi, ids_lo, axis_name=axis,
@@ -282,7 +294,10 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
                     hrows = ev.lookup(hcfg, ts.ev[hname],
                                       ids_hi.reshape(-1),
                                       ids_lo.reshape(-1))
-                    hinv = inverse
+                    # Per-occurrence rows — identity inverse (the base
+                    # table's ``inverse`` may be per-unique when its
+                    # placement differs from the hot sibling's).
+                    hinv = jnp.arange(B * L).reshape(B, L)
                 off = 0
                 for c, w in zip(tcols, widths):
                     inv_c = hinv[:, off:off + w]
@@ -305,7 +320,7 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
         return jax.jit(_eval)
 
     def wrapped(ts, batch):
-        specs = _spec_tree(ts, axis)
+        specs = _spec_tree(ts, group)
         batch_specs = jax.tree.map(lambda _: P(axis), batch)
         return jax.shard_map(
             _eval, mesh=mesh,
