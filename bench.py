@@ -157,7 +157,11 @@ def bench_e2e(n_rows: int = 600_000) -> dict:
         _write_tsv(tsv, n_rows, gen)
 
     def batches():
-        for b in criteo_file_batches(tsv, BATCH, as_numpy=True):
+        # wide=False: this WDL is built wide_in_deep=True (no C*_wide
+        # columns) — emitting the 26 duplicate id arrays would ship
+        # ~3.4 MB/step of dead H2D through pack_batch_np's passthrough.
+        for b in criteo_file_batches(tsv, BATCH, as_numpy=True,
+                                     wide=False):
             if b["label"].shape[0] == BATCH:
                 yield group.pack_batch_np(b)
 
@@ -232,9 +236,15 @@ def main():
     # device is single-tenant — rows must run strictly sequentially.
     rows = []
     for row in ROWS:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            row], capture_output=True, text=True,
-                           timeout=3000)
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                row], capture_output=True, text=True,
+                               timeout=3000)
+        except subprocess.TimeoutExpired:
+            # A row that wedges mid-run (tunnel stall) must not take the
+            # headline JSON and the completed rows down with it.
+            rows.append({"row": row, "error": "row timeout (3000s)"})
+            continue
         lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
         rows.append(json.loads(lines[-1]) if lines else {
             "row": row,

@@ -44,28 +44,36 @@ def capacity_for(bucket: int, ceiling: Optional[int] = None,
     return min(cap, ceiling) if ceiling else cap
 
 
-def batch_np_dict(labels, ints, cats) -> Dict:
+def batch_np_dict(labels, ints, cats, wide: bool = True) -> Dict:
     """Raw numpy batch (no device transfer) for
     ``EmbeddingGroup.pack_batch_np`` — the host-packing fast path of
-    the production input pipeline."""
+    the production input pipeline.
+
+    ``wide=False`` skips the ``C*_wide`` duplicate id columns for
+    models built with ``wide_in_deep=True`` (which have no wide
+    embedding columns): shipping them would add ~40% dead H2D per step
+    through ``pack_batch_np``'s passthrough.
+    """
     batch = {"label": labels.astype(np.float32)}
     for i in range(NUM_INT):
         batch[f"I{i+1}"] = ints[:, i].astype(np.float32)
     for i in range(NUM_CAT):
         ids = cats[:, i:i + 1]
         batch[f"C{i+1}"] = ids
-        batch[f"C{i+1}_wide"] = ids
+        if wide:
+            batch[f"C{i+1}_wide"] = ids
     return batch
 
 
-def _batch_from_np(labels, ints, cats) -> Dict:
+def _batch_from_np(labels, ints, cats, wide: bool = True) -> Dict:
     batch = {"label": labels.astype(np.float32)}
     for i in range(NUM_INT):
         batch[f"I{i+1}"] = ints[:, i].astype(np.float32)
     for i in range(NUM_CAT):
         ids = SparseIds.from_numpy(cats[:, i:i + 1])  # [B, 1] bags
         batch[f"C{i+1}"] = ids
-        batch[f"C{i+1}_wide"] = ids  # wide columns reuse the same ids
+        if wide:
+            batch[f"C{i+1}_wide"] = ids  # wide columns reuse the same ids
     return batch
 
 
@@ -240,7 +248,8 @@ def parse_criteo_lines(lines, hash_mod: Optional[int] = None):
 def criteo_file_batches(path: str, batch_size: int,
                         hash_mod: Optional[int] = None,
                         use_native: bool = True,
-                        as_numpy: bool = False) -> Iterator[Dict]:
+                        as_numpy: bool = False,
+                        wide: bool = True) -> Iterator[Dict]:
     """Stream batches from a Kaggle-format TSV file.
 
     With ``use_native`` (and no ``hash_mod``), parsing runs through the
@@ -251,7 +260,8 @@ def criteo_file_batches(path: str, batch_size: int,
     ``as_numpy`` keeps batches on host (``batch_np_dict``) for the
     ``pack_batch_np`` fast path — no per-column device transfers.
     """
-    mk = batch_np_dict if as_numpy else _batch_from_np
+    base_mk = batch_np_dict if as_numpy else _batch_from_np
+    mk = lambda *a: base_mk(*a, wide=wide)  # noqa: E731
     from deeprec_tpu import native
     if use_native and hash_mod is None and native.have_native():
         tail = b""

@@ -32,7 +32,13 @@ def so_path() -> str:
 
 
 def build() -> Optional[str]:
-    """Compile the .so if stale; returns its path (None on failure)."""
+    """Compile the .so if stale; returns its path (None on failure).
+
+    A rebuild failure falls back to an existing prebuilt library: git
+    does not preserve mtimes, so a fresh clone can present the source
+    newer than the committed .so, and a deployment host without a C++
+    toolchain must still be able to use the shipped binary.
+    """
     global _lib_err
     out = so_path()
     try:
@@ -48,6 +54,9 @@ def build() -> Optional[str]:
         return out
     except Exception as e:  # noqa: BLE001
         _lib_err = f"{type(e).__name__}: {e}"
+        if os.path.exists(out):
+            _lib_err += " (using prebuilt library)"
+            return out
         return None
 
 
