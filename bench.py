@@ -163,7 +163,9 @@ def bench_e2e(n_rows: int = 600_000) -> dict:
         for b in criteo_file_batches(tsv, BATCH, as_numpy=True,
                                      wide=False):
             if b["label"].shape[0] == BATCH:
-                yield group.pack_batch_np(b)
+                # compact: int32 id planes + bf16 floats — halves the
+                # H2D bytes, which dominate e2e on this tunneled link.
+                yield group.pack_batch_np(b, compact=True)
 
     # Warm compile on one batch first.
     it = PrefetchIterator(batches, buffer_size=4)

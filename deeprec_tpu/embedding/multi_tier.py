@@ -673,6 +673,19 @@ class TieredGroup:
         key = self.group.PACKED_PREFIX + tname
         if key in batch:
             s = batch[key]
+            if not hasattr(s, "hi"):  # CompactIds: raw, salts on host
+                raw = np.asarray(s.ids, np.int64)
+                raw = np.where(raw == -(2 ** 31), keylib.EMPTY_ID, raw)
+                tcols = [c for c in self.group.embedding
+                         if self.group.physical_table_of(c) == tname]
+                out, off = [], 0
+                for c, w in zip(tcols, self.group._pack_widths[tname]):
+                    hi, lo = self.group.transform_ids_np(
+                        c, raw[:, off:off + w])
+                    out.append(keylib.join_ids(hi.reshape(-1),
+                                               lo.reshape(-1)))
+                    off += w
+                return np.concatenate(out)
             return keylib.join_ids(np.asarray(s.hi).reshape(-1),
                                    np.asarray(s.lo).reshape(-1))
         for c in self.group.embedding:

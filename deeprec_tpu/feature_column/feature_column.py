@@ -59,6 +59,23 @@ class SparseIds(NamedTuple):
             jnp.asarray(lo).reshape(ids.shape))
 
 
+class CompactIds(NamedTuple):
+    """Half-width packed ids for the host→device hop: one int32 [B, L]
+    array of RAW (unsalted) per-table ids. Usable whenever every id of
+    the physical table fits in int32 (hash-bucket columns always do);
+    ``_packed_view`` reconstitutes the (hi, lo) pair and applies the
+    coalescing salts on device, where the extra arrays are free — the
+    wire carries half the bytes of a :class:`SparseIds` pair.
+
+    On this class of host links the id upload is the dominant e2e
+    input-pipeline cost (BENCH_DETAIL.json e2e row), which is what the
+    reference's zero-copy seastar transport attacked for PS traffic
+    (``docs/GRPC++.md``); here the lever is simply fewer bytes.
+    """
+
+    ids: jax.Array  # [B, L] int32, raw (pre-salt)
+
+
 @dataclasses.dataclass(frozen=True)
 class NumericColumn:
     """``tf.feature_column.numeric_column`` analog."""
@@ -365,37 +382,73 @@ class EmbeddingGroup:
             (lo2 == keylib.EMPTY_LO) | (lo2 == keylib.TOMB_LO))
         return hi2, np.where(hit, lo2 ^ np.int32(2), lo2)
 
-    def pack_batch_np(self, batch):
+    def pack_batch_np(self, batch, compact: bool = False):
         """Host-side :meth:`pack_batch`: leaves are raw numpy int64 id
         matrices (sparse columns) / numpy arrays (everything else).
         Salting + concatenation run on host; each physical table costs
         exactly two H2D transfers — the production input-pipeline path
-        (SURVEY §7.6: id handling/CSR-ification on host)."""
+        (SURVEY §7.6: id handling/CSR-ification on host).
+
+        ``compact=True`` halves the wire bytes for slow host links:
+        id tables whose every id round-trips through int32 ship as ONE
+        raw int32 array (:class:`CompactIds`; salting moves on-device
+        into ``_packed_view``), float features ship as bfloat16 (the
+        models compute in bf16 anyway), and int64 side arrays narrow
+        to int32 when lossless. Tables with genuine 64-bit ids fall
+        back to the full pair per table.
+        """
         packed: Dict[str, Any] = {}
         by_table: Dict[str, list] = {}
         for c in self.embedding:
             by_table.setdefault(self.physical_table_of(c), []).append(c)
         widths: Dict[str, list] = {}
         for tname, tcols in by_table.items():
-            his, los, ws = [], [], []
+            raw, ws = [], []
             for c in tcols:
                 ids = np.asarray(batch[c.name], np.int64)
                 if ids.ndim == 1:
                     ids = ids[:, None]
-                hi, lo = self.transform_ids_np(c, ids)
-                his.append(hi)
-                los.append(lo)
+                raw.append(ids)
                 ws.append(int(ids.shape[1]))
-            packed[self.PACKED_PREFIX + tname] = SparseIds(
-                jnp.asarray(np.concatenate(his, axis=1)),
-                jnp.asarray(np.concatenate(los, axis=1)))
+            cat = np.concatenate(raw, axis=1)
+            cat32 = cat.astype(np.int32)
+            # EMPTY padding (sequence columns) rides the wire as int32
+            # min — a value real ids must then avoid (checked below);
+            # _packed_view maps it back to the 64-bit EMPTY sentinel.
+            is_pad = cat == keylib.EMPTY_ID
+            lossless = ((cat32.astype(np.int64) == cat)
+                        & (cat32 != np.int32(-(2 ** 31))))
+            if compact and bool((lossless | is_pad).all()):
+                packed[self.PACKED_PREFIX + tname] = CompactIds(
+                    jnp.asarray(np.where(is_pad, np.int32(-(2 ** 31)),
+                                         cat32)))
+            else:
+                his, los = [], []
+                for c, ids in zip(tcols, raw):
+                    hi, lo = self.transform_ids_np(c, ids)
+                    his.append(hi)
+                    los.append(lo)
+                packed[self.PACKED_PREFIX + tname] = SparseIds(
+                    jnp.asarray(np.concatenate(his, axis=1)),
+                    jnp.asarray(np.concatenate(los, axis=1)))
             widths[tname] = ws
         if getattr(self, "_pack_widths", None) is None:
             self._pack_widths = widths
         emb_names = {c.name for c in self.embedding}
         for k, v in batch.items():
             if k not in emb_names:
-                packed[k] = jnp.asarray(v)
+                if compact:
+                    a = np.asarray(v)
+                    if a.dtype in (np.float64, np.float32):
+                        import ml_dtypes
+                        a = a.astype(ml_dtypes.bfloat16)
+                    elif a.dtype == np.int64:
+                        a32 = a.astype(np.int32)
+                        if (a32.astype(np.int64) == a).all():
+                            a = a32
+                    packed[k] = jnp.asarray(a)
+                else:
+                    packed[k] = jnp.asarray(v)
         return packed
 
     def _packed_view(self, batch, tname, tcols):
@@ -404,7 +457,26 @@ class EmbeddingGroup:
         key = self.PACKED_PREFIX + tname
         if key in batch:
             s = batch[key]
-            return s.hi, s.lo, self._pack_widths[tname]
+            widths = self._pack_widths[tname]
+            if isinstance(s, CompactIds):
+                # Raw half-width wire format: rebuild the pair and
+                # apply the per-column coalescing salts here (on
+                # device, inside the step's jit). int32 min marks
+                # EMPTY padding (see pack_batch_np).
+                hi, lo = keylib.split_ids_jnp(s.ids)
+                pad = s.ids == jnp.int32(-(2 ** 31))
+                hi = jnp.where(pad, jnp.int32(keylib.EMPTY_HI), hi)
+                lo = jnp.where(pad, jnp.int32(keylib.EMPTY_LO), lo)
+                his, los, off = [], [], 0
+                for c, w in zip(tcols, widths):
+                    h, l = self.transform_ids(c, hi[:, off:off + w],
+                                              lo[:, off:off + w])
+                    his.append(h)
+                    los.append(l)
+                    off += w
+                return (jnp.concatenate(his, axis=1),
+                        jnp.concatenate(los, axis=1), widths)
+            return s.hi, s.lo, widths
         sid = []
         for c in tcols:
             s = batch[c.name]

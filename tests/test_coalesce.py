@@ -246,3 +246,115 @@ def test_pack_batch_np_matches_device_pack():
         else:
             np.testing.assert_array_equal(np.asarray(want[k]),
                                           np.asarray(got[k]))
+
+
+def test_pack_batch_np_compact_matches_full():
+    """compact=True ships raw int32 ids (salting moves on-device into
+    _packed_view) and bf16 floats; the reconstructed (hi, lo) pair and
+    the lookup results must be bit-identical to the full-width pack."""
+    n = 3
+    rng = np.random.default_rng(11)
+    group = EmbeddingGroup(_cols(n), coalesce=True)
+    group_c = EmbeddingGroup(_cols(n), coalesce=True)
+
+    raw = {f"c{i}": rng.integers(0, 1 << 30, size=(8, 2)).astype(np.int64)
+           for i in range(n)}
+    raw["label"] = np.ones(8, np.float32)
+
+    full = group.pack_batch_np(raw)
+    comp = group_c.pack_batch_np(raw, compact=True)
+    assert set(full) == set(comp)
+
+    by_table = {}
+    for c in group.embedding:
+        by_table.setdefault(group.physical_table_of(c), []).append(c)
+    for tname, tcols in by_table.items():
+        key = group.PACKED_PREFIX + tname
+        assert not hasattr(comp[key], "hi")  # really took the compact form
+        # wire bytes: one int32 plane instead of two
+        assert comp[key].ids.dtype == jnp.int32
+        f_hi, f_lo, f_w = group._packed_view(full, tname, tcols)
+        c_hi, c_lo, c_w = jax.jit(
+            lambda b: group_c._packed_view(b, tname, tcols))(comp)[:2] + (
+                group_c._pack_widths[tname],)
+        assert f_w == c_w
+        np.testing.assert_array_equal(np.asarray(f_hi), np.asarray(c_hi))
+        np.testing.assert_array_equal(np.asarray(f_lo), np.asarray(c_lo))
+    assert comp["label"].dtype == jnp.bfloat16
+
+
+def test_pack_batch_np_compact_falls_back_on_wide_ids():
+    """A table with genuine 64-bit ids must keep the full pair."""
+    rng = np.random.default_rng(12)
+    group = EmbeddingGroup(_cols(2), coalesce=True)
+    raw = {f"c{i}": rng.integers(1 << 40, 1 << 45, size=(4, 1))
+           .astype(np.int64) for i in range(2)}
+    raw["label"] = np.ones(4, np.float32)
+    comp = group.pack_batch_np(raw, compact=True)
+    (key,) = [k for k in comp if k.startswith(group.PACKED_PREFIX)]
+    assert hasattr(comp[key], "hi")
+
+    want = EmbeddingGroup(_cols(2), coalesce=True).pack_batch_np(raw)
+    np.testing.assert_array_equal(np.asarray(want[key].hi),
+                                  np.asarray(comp[key].hi))
+    np.testing.assert_array_equal(np.asarray(want[key].lo),
+                                  np.asarray(comp[key].lo))
+
+
+def test_compact_pack_trains_identically():
+    """A few train steps fed compact batches must produce the same
+    losses as full-width batches (same seeds, same data)."""
+    n = 2
+    rng = np.random.default_rng(13)
+    cols = _cols(n)
+    batches = []
+    for _ in range(3):
+        ids = rng.integers(1, 50, size=(8, n, 1)).astype(np.int64)
+        b = {f"c{i}": ids[:, i] for i in range(n)}
+        b["label"] = (ids.sum((1, 2)) % 2).astype(np.float32)
+        batches.append(b)
+
+    def run(compact):
+        group = EmbeddingGroup([EmbeddingColumn(
+            name=f"c{i}", dim=4, capacity=1 << 8, initializer="zeros",
+            combiner="sum") for i in range(n)], coalesce=True)
+        params = {"w": jnp.ones((n * 4,), jnp.float32)}
+        opt = sopt.SparseAdagrad(learning_rate=0.1)
+        tx = optax.adagrad(0.1)
+        ts = trainlib.create_train_state(group, params, tx, opt)
+        step = trainlib.make_train_step(
+            group, _afn(group),
+            lambda out, b: losses.bce_with_logits(out, b["label"]),
+            opt, tx)
+        out = []
+        for b in batches:
+            ts, m = step(ts, group.pack_batch_np(b, compact=compact))
+            out.append(float(m["loss"]))
+        return out
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-6)
+
+
+def test_compact_pack_preserves_empty_padding():
+    """Sequence columns pad with the 64-bit EMPTY sentinel; the compact
+    wire format carries it as int32 min and must reconstruct the exact
+    sentinel pair (so masks and combiners see real padding)."""
+    from deeprec_tpu.utils import keys as keylib
+
+    group = EmbeddingGroup(_cols(1), coalesce=True)
+    ids = np.array([[5, keylib.EMPTY_ID, 7],
+                    [keylib.EMPTY_ID, keylib.EMPTY_ID, 9]], np.int64)
+    comp = group.pack_batch_np({"c0": ids, "label": np.zeros(2)},
+                               compact=True)
+    (key,) = [k for k in comp if k.startswith(group.PACKED_PREFIX)]
+    assert not hasattr(comp[key], "hi")
+
+    tcols = [c for c in group.embedding]
+    hi, lo, _ = group._packed_view(comp, group.physical_table_of(
+        tcols[0]), tcols)
+    want = EmbeddingGroup(_cols(1), coalesce=True).pack_batch_np(
+        {"c0": ids, "label": np.zeros(2)})
+    np.testing.assert_array_equal(np.asarray(hi),
+                                  np.asarray(want[key].hi))
+    np.testing.assert_array_equal(np.asarray(lo),
+                                  np.asarray(want[key].lo))
