@@ -160,11 +160,13 @@ def bench_e2e(n_rows: int = 600_000) -> dict:
         # wide=False: this WDL is built wide_in_deep=True (no C*_wide
         # columns) — emitting the 26 duplicate id arrays would ship
         # ~3.4 MB/step of dead H2D through pack_batch_np's passthrough.
+        # id_bits=31 keeps ids int32-representable so compact=True
+        # really ships half-width planes (40-bit ids would fall back);
+        # together they halve the H2D bytes that dominate e2e on this
+        # tunneled link.
         for b in criteo_file_batches(tsv, BATCH, as_numpy=True,
-                                     wide=False):
+                                     wide=False, id_bits=31):
             if b["label"].shape[0] == BATCH:
-                # compact: int32 id planes + bf16 floats — halves the
-                # H2D bytes, which dominate e2e on this tunneled link.
                 yield group.pack_batch_np(b, compact=True)
 
     # Warm compile on one batch first.

@@ -249,7 +249,8 @@ def criteo_file_batches(path: str, batch_size: int,
                         hash_mod: Optional[int] = None,
                         use_native: bool = True,
                         as_numpy: bool = False,
-                        wide: bool = True) -> Iterator[Dict]:
+                        wide: bool = True,
+                        id_bits: Optional[int] = None) -> Iterator[Dict]:
     """Stream batches from a Kaggle-format TSV file.
 
     With ``use_native`` (and no ``hash_mod``), parsing runs through the
@@ -259,9 +260,24 @@ def criteo_file_batches(path: str, batch_size: int,
 
     ``as_numpy`` keeps batches on host (``batch_np_dict``) for the
     ``pack_batch_np`` fast path — no per-column device transfers.
+
+    ``id_bits`` truncates categorical ids to the low N hash bits and
+    drops the per-field ``i << 40`` offsets.  ``id_bits=31`` makes every
+    id int32-representable so ``pack_batch_np(compact=True)`` can ship
+    half-width id planes.  Sound because (a) each C column is its own
+    logical table and coalesced groups salt per member, so cross-field
+    disjointness never depends on the offsets, and (b) a 31-bit hash
+    space loses only birthday-scale aliasing *within* a column — the
+    reference's non-EV mode mods the same hash into 2.5k–300k buckets
+    (``modelzoo/WDL/train.py:40-66``), orders of magnitude lossier.
     """
     base_mk = batch_np_dict if as_numpy else _batch_from_np
-    mk = lambda *a: base_mk(*a, wide=wide)  # noqa: E731
+
+    def mk(labels, dense, cats):
+        if id_bits is not None:
+            # offsets live at bits >= 40, so one mask strips both.
+            cats = np.asarray(cats) & np.int64((1 << id_bits) - 1)
+        return base_mk(labels, dense, cats, wide=wide)
     from deeprec_tpu import native
     if use_native and hash_mod is None and native.have_native():
         tail = b""

@@ -158,3 +158,33 @@ def test_parquet_string_id_column(tmp_path):
     exp = native.hash_bytes(["alice", "bob", "alice", ""])
     np.testing.assert_array_equal(ids, exp)
     assert ids[0] == ids[2] and ids[0] != ids[1]
+
+
+def test_criteo_file_batches_id_bits(tmp_path):
+    """id_bits=31 must strip the per-field offsets and truncate hashes
+    so every id is int32-representable (the compact-wire precondition),
+    while labels/dense stay identical to the default path."""
+    from deeprec_tpu.data.criteo import criteo_file_batches
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for r in range(64):
+        ints = "\t".join(str(int(v)) for v in rng.integers(0, 50, 13))
+        cats = "\t".join(format(int(v), "x")
+                         for v in rng.integers(0, 1 << 44, 26))
+        rows.append(f"{r % 2}\t{ints}\t{cats}")
+    tsv = tmp_path / "mini.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+
+    full = next(criteo_file_batches(str(tsv), 64, as_numpy=True,
+                                    wide=False))
+    comp = next(criteo_file_batches(str(tsv), 64, as_numpy=True,
+                                    wide=False, id_bits=31))
+    np.testing.assert_array_equal(full["label"], comp["label"])
+    mask31 = (1 << 31) - 1
+    for k, v in comp.items():
+        if k.startswith("C"):
+            v = np.asarray(v)
+            assert v.max() <= mask31 and v.min() >= 0
+            np.testing.assert_array_equal(
+                v, np.asarray(full[k]) & mask31, k)
