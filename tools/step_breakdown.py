@@ -192,6 +192,29 @@ def main():
     phases["full_step"] = timeit(
         lambda t_, bb: step(t_, bb)[1]["loss"], ts, b, n=steps)
 
+    # Useful-bytes lower bounds for the indexed phases (what the phase
+    # MUST move from/to HBM, ignoring probe overshoot and sort passes)
+    # -> achieved useful-GB/s, the roofline framing for the
+    # transaction-bound part of the step. v5e HBM peak ~ 819 GB/s.
+    useful = {}
+    for t in tnames:
+        st = ts.ev[t]
+        # phases run at the padded size: dedup outputs [n] unique slots
+        # (EMPTY-padded), so probe/gather/apply all touch n entries.
+        n_u = per_table[t]["ids"]
+        dim = per_table[t]["dim"]
+        vb = st.values.dtype.itemsize
+        useful.setdefault("gather", 0)
+        useful["gather"] += n_u * dim * vb
+        useful.setdefault("probe_find", 0)
+        useful["probe_find"] += n_u * 8          # one key-pair row/id
+        useful.setdefault("sparse_apply", 0)
+        useful["sparse_apply"] += 4 * n_u * dim * 4  # val+acc r/w fp32
+        useful.setdefault("dedup", 0)
+        useful["dedup"] += 4 * n_u * 8           # pairs through a sort
+    gbps = {k: round(useful[k] / phases[k] / 1e9, 2)
+            for k in useful if phases.get(k)}
+
     out = {
         "metric": "wdl_step_breakdown",
         "batch": batch,
@@ -201,6 +224,7 @@ def main():
         "backend": jax.default_backend(),
         "per_table": per_table,
         "phases_ms": {k: round(v * 1e3, 3) for k, v in phases.items()},
+        "useful_gbps_lower_bound": gbps,
         "phase_sum_ms": round(sum(v for k, v in phases.items()
                                   if k != "full_step") * 1e3, 3),
         "note": ("each phase is its own device program with a D2H "
