@@ -54,24 +54,32 @@ def dedup(hi, lo) -> DedupResult:
                        inverse.reshape(-1))
 
 
-def combine_bags(rows, inverse, mask, combiner: str):
+def combine_bags(rows, inverse, mask, combiner: str, weights=None):
     """Reduce per-occurrence rows into per-bag embeddings.
 
     rows:    [n_unique, dim] (differentiable)
     inverse: [B, L] indices into rows
     mask:    [B, L] bool — real (non-padding) positions
+    weights: optional [B, L] per-occurrence weights (the
+             ``weighted_categorical_column`` analog): sum_i w_i x_i,
+             mean divides by sum(w), sqrtn by sqrt(sum(w^2)) — TF's
+             embedding_lookup_sparse weighted semantics.
     Returns [B, dim].
     """
-    per_occ = rows[inverse] * mask[..., None].astype(rows.dtype)
+    m = mask.astype(rows.dtype)
+    w = m if weights is None else weights.astype(rows.dtype) * m
+    per_occ = rows[inverse] * w[..., None]
     s = jnp.sum(per_occ, axis=1)
-    cnt = jnp.sum(mask, axis=1).astype(rows.dtype)
     if combiner == "sum":
         return s
     if combiner == "mean":
-        return s / jnp.maximum(cnt, 1.0)[:, None]
-    if combiner == "sqrtn":
-        return s / jnp.sqrt(jnp.maximum(cnt, 1.0))[:, None]
-    raise ValueError(f"unknown combiner {combiner!r}")
+        denom = jnp.sum(w, axis=1)
+    elif combiner == "sqrtn":
+        denom = jnp.sqrt(jnp.sum(w * w, axis=1))
+    else:
+        raise ValueError(f"unknown combiner {combiner!r}")
+    return s / jnp.maximum(denom, 1e-9 if weights is not None
+                           else 1.0)[:, None]
 
 
 class BagLookup(NamedTuple):

@@ -117,6 +117,13 @@ class EmbeddingColumn:
     dyn_dim_blocks: int = 1
     dyn_dim_thresholds: tuple = ()
     dyn_dim_hot_capacity: Optional[int] = None
+    # ``weighted_categorical_column`` analog: name of a batch key
+    # holding [B, L] float weights, applied per occurrence before the
+    # bag combiner (sum_i w_i x_i; mean divides by sum w; sqrtn by
+    # sqrt(sum w^2)) — the reference's weighted-sum lookup
+    # (``embedding_variable_ops_test.py:608`` weighted-sum-from-
+    # feature-column behavior).
+    weight_name: Optional[str] = None
 
     @property
     def table_name(self) -> str:
@@ -148,6 +155,7 @@ class ColumnLookup(NamedTuple):
     inverse: jax.Array   # [B, L]
     mask: jax.Array      # [B, L]
     routing: Optional[sharded.Routing]  # sharded mode only
+    weights: Optional[jax.Array] = None  # [B, L] per-id weights
 
 
 class GroupLookup(NamedTuple):
@@ -583,11 +591,13 @@ class EmbeddingGroup:
                                                    ids_hi, ids_lo)
             off = 0
             for c, w in zip(tcols, widths):
+                cw = (jnp.asarray(batch[c.weight_name])
+                      if getattr(c, "weight_name", None) else None)
                 cols[c.name] = ColumnLookup(
                     column=c, table_name=tname,
                     inverse=inverse[:, off:off + w],
                     mask=mask[:, off:off + w],
-                    routing=routing)
+                    routing=routing, weights=cw)
                 off += w
             hname = self._dyn_hot.get(tname)
             if hname is not None:
@@ -604,7 +614,8 @@ class EmbeddingGroup:
                         column=c, table_name=hname,
                         inverse=hinv[:, off:off + w],
                         mask=hmask[:, off:off + w],
-                        routing=hrouting)
+                        routing=hrouting,
+                        weights=cols[c.name].weights)
                     off += w
         return new_states, GroupLookup(lks=lks, columns=cols)
 
@@ -645,7 +656,8 @@ class EmbeddingGroup:
                 out[cname] = (seq, cl.mask)
             else:
                 out[cname] = lkup.combine_bags(
-                    r, cl.inverse, cl.mask, cl.column.combiner)
+                    r, cl.inverse, cl.mask, cl.column.combiner,
+                    weights=cl.weights)
         # Dyn-dim split columns: concatenate the hot-block sibling's
         # output back onto the base block (cold keys read zeros there).
         for cname in [k for k in out if k.endswith("#hot")]:

@@ -276,8 +276,10 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
                         local_rows.dtype)
                     embs[c.name] = (seq, m_c)
                 else:
+                    cw = (jnp.asarray(batch[c.weight_name])
+                          if getattr(c, "weight_name", None) else None)
                     embs[c.name] = lkup.combine_bags(
-                        local_rows, inv_c, m_c, c.combiner)
+                        local_rows, inv_c, m_c, c.combiner, weights=cw)
                 off += w
             hname = getattr(group, "_dyn_hot", {}).get(tname)
             if hname is not None:
@@ -309,8 +311,11 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
                         embs[c.name] = (jnp.concatenate(
                             [seq, hseq], axis=-1), m0)
                     else:
+                        cw = (jnp.asarray(batch[c.weight_name])
+                              if getattr(c, "weight_name", None)
+                              else None)
                         hbag = lkup.combine_bags(
-                            hrows, inv_c, m_c, c.combiner)
+                            hrows, inv_c, m_c, c.combiner, weights=cw)
                         embs[c.name] = jnp.concatenate(
                             [embs[c.name], hbag], axis=-1)
                     off += w
