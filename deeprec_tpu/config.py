@@ -140,6 +140,14 @@ class EmbeddingVariableOption:
     default_value_dim: int = 1
     # Record frequency / version metadata even when no filter/evict
     # policy needs them (reference: record_freq / record_version).
+    # Always-on here BY DESIGN: the reference's flags gate per-key
+    # ValuePtr header bytes (value_ptr.h LightHeader vs NormalHeader);
+    # in this layout freqs/versions are two flat int32 arrays that
+    # double as the LFU/LRU rank arrays (multi-tier), the dyn-dim
+    # unlock counters, and the incremental-checkpoint touched-row
+    # recorder — dropping them saves nothing and breaks those
+    # subsystems, so the flags are accepted for API parity but a
+    # False value does not elide the arrays.
     record_freq: bool = True
     record_version: bool = True
 
