@@ -47,8 +47,16 @@ def test_model_trains(name):
 
     b0 = data.next_batch()
     states0 = group.create_state()
-    _, gl = group.lookup_train(states0, b0, 0)
-    embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+
+    # One jitted program for the lookup+combine init instead of
+    # hundreds of eager one-off compilations per model (the eager
+    # version's cumulative LLVM JIT state segfaulted the suite).
+    @jax.jit
+    def _init_embs(states, b):
+        _, gl = group.lookup_train(states, b, 0)
+        return group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+
+    embs = _init_embs(states0, b0)
     numeric = group.numeric_features(b0)
     if name in ("din", "dien", "bst", "dssm"):
         variables = module.init(jax.random.key(0), embs)

@@ -81,13 +81,20 @@ class TestAdamFused:
     @pytest.mark.parametrize("D", [16, 128])
     def test_matches_reference(self, D):
         values, m, v, slots, grads = self._mk(D=D)
+        C = values.shape[0] - 1
         args = (0.01, 0.9, 0.999, 1e-8)
         o1 = sa.adam_apply_rows(values, m, v, slots, grads, *args,
                                 interpret=True)
         o2 = sa.adam_apply_rows_reference(values, m, v, slots, grads,
                                           *args)
+        # Row C is the overflow/scratch sentinel — never read through
+        # the default path; the kernel's tile-padding lanes may park
+        # zero-grad updates there (an Adam step still decays m/v)
+        # while the reference drops them, so its content is
+        # unspecified. Compare the real rows only.
         for a, b in zip(o1, o2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+            np.testing.assert_allclose(np.asarray(a)[:C],
+                                       np.asarray(b)[:C],
                                        rtol=1e-5, atol=1e-6)
 
     def test_drops_and_ragged(self):
