@@ -318,3 +318,41 @@ def test_end_to_end_regression_learns():
         state, slot_state, loss = step(state, slot_state, gs)
         losses.append(float(loss))
     assert losses[-1] < 0.05 * losses[0]
+
+
+def test_initializer_deterministic_per_key_across_restarts():
+    """Random initializers are stateless functions of (key, salt):
+    inserting the same key into two fresh tables — or before/after a
+    checkpoint round-trip — yields the identical row
+    (``EVInitializer`` behavior, ``embedding_variable_ops_test.py:1455``;
+    restore correctness depends on it for never-admitted keys)."""
+    cfg = _cfg(initializer="truncated_normal", init_scale=0.5)
+    qhi, qlo = _q([7, 11, 13])
+    counts = jnp.ones(3, jnp.int32)
+
+    s1, lk1 = ev.lookup_train(cfg, ev.create(cfg, salt=3), qhi, qlo,
+                              counts, 0, salt=3)
+    s2, lk2 = ev.lookup_train(cfg, ev.create(cfg, salt=3), qhi, qlo,
+                              counts, 0, salt=3)
+    np.testing.assert_array_equal(np.asarray(lk1.rows),
+                                  np.asarray(lk2.rows))
+    assert np.asarray(lk1.rows).std() > 0  # actually random
+
+    # A different salt (another table) decorrelates the rows.
+    _, lk3 = ev.lookup_train(cfg, ev.create(cfg, salt=4), qhi, qlo,
+                             counts, 0, salt=4)
+    assert not np.allclose(np.asarray(lk1.rows), np.asarray(lk3.rows))
+
+
+def test_shrink_without_policy_is_noop():
+    """``testEmbeddingVariableForShrinkNone``: shrink on a table with
+    no eviction policy must keep every row."""
+    cfg = _cfg()  # no evict_option
+    qhi, qlo = _q([1, 2, 3, 4])
+    st, _ = ev.lookup_train(cfg, ev.create(cfg), qhi, qlo,
+                            jnp.ones(4, jnp.int32), 0)
+    st2 = ev.shrink(cfg, st, global_step=10_000)
+    a = ev.export_arrays(cfg, st)
+    b = ev.export_arrays(cfg, st2)
+    np.testing.assert_array_equal(np.sort(a["keys"]), np.sort(b["keys"]))
+    assert len(a["keys"]) == 4
