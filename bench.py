@@ -218,15 +218,23 @@ def main():
     # Fail fast if the device backend is unreachable: on this
     # environment a broken TPU tunnel makes backend init hang forever,
     # which would otherwise burn the full per-row timeout three times.
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].device_kind)"],
-            capture_output=True, text=True, timeout=300)
-        probe_err = (None if probe.returncode == 0 else
-                     (probe.stderr.strip() or "probe failed")[-200:])
-    except subprocess.TimeoutExpired:
-        probe_err = "backend init hang (300s)"
+    # The tunnel also flaps for hours at a time (observed 2026-08-17/18),
+    # so retry the cheap probe a few times before declaring failure.
+    probe_err = None
+    for attempt in range(4):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].device_kind)"],
+                capture_output=True, text=True, timeout=300)
+            probe_err = (None if probe.returncode == 0 else
+                         (probe.stderr.strip() or "probe failed")[-200:])
+        except subprocess.TimeoutExpired:
+            probe_err = "backend init hang (300s x%d)" % (attempt + 1)
+        if probe_err is None:
+            break
+        if attempt < 3:
+            time.sleep(240)
     if probe_err is not None:
         print(json.dumps({
             "metric": "wdl_criteo_samples_per_sec", "value": 0.0,
