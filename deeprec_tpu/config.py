@@ -183,6 +183,14 @@ class TableConfig:
     # frequencies.
     block_num: int = 1
     dyn_dim_thresholds: tuple = ()
+    # Adaptive embedding (``categorical_column_with_adaptive_embedding``
+    # analog, ``docs/Adaptive-Embedding.md``): ids whose frequency is
+    # below ``adaptive_hot_threshold`` read/train a shared static
+    # hash-bucket table of ``adaptive_buckets`` rows (a dense param);
+    # hot ids get collision-free EV rows seeded from the static row
+    # they trained in. None disables.
+    adaptive_hot_threshold: Optional[int] = None
+    adaptive_buckets: int = 0
 
     def __post_init__(self):
         if self.capacity & (self.capacity - 1):
@@ -200,6 +208,15 @@ class TableConfig:
                 raise ValueError(
                     f"table {self.name}: need {self.block_num - 1} "
                     "dyn_dim_thresholds")
+        if self.adaptive_hot_threshold is not None:
+            if self.adaptive_hot_threshold < 1:
+                raise ValueError(
+                    f"table {self.name}: adaptive_hot_threshold must "
+                    "be >= 1")
+            if self.adaptive_buckets < 2:
+                raise ValueError(
+                    f"table {self.name}: adaptive_buckets must be >= 2 "
+                    "when adaptive_hot_threshold is set")
 
 
 def steps_to_live_of(cfg: TableConfig) -> int:

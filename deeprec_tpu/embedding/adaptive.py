@@ -83,3 +83,27 @@ def combine(rows, static_table, al: AdaptiveLookup, combiner: str):
 # Note on gradients: ``combine``'s jnp.where routes each id's cotangent
 # to exactly one side — EV rows for hot ids, the static table for cold
 # ids — so no extra gradient masking is needed before the sparse apply.
+
+
+def lookup_infer(cfg: cfglib.TableConfig, state: ev.EVState,
+                 ids_hi, ids_lo, static_table, *,
+                 hot_threshold: int, num_buckets: int, salt: int = 0):
+    """Inference-time adaptive read (no mutation): per-occurrence rows
+    [B*L, dim]. Ids resident in the EV with frequency >=
+    ``hot_threshold`` read their EV row; everything else reads its
+    static hash bucket (the serving-side half of
+    ``adaptive_embedding_lookup_sparse``)."""
+    from deeprec_tpu.embedding import hash_table as ht
+
+    flat_hi = ids_hi.reshape(-1)
+    flat_lo = ids_lo.reshape(-1)
+    slots = ht.find(state.table, flat_hi, flat_lo,
+                    max_probes=cfg.max_probes)
+    found = slots < cfg.capacity
+    safe = jnp.minimum(slots, cfg.capacity)
+    hot = found & (state.freqs[safe] >= hot_threshold)
+    ev_rows = state.values[safe]
+    bucket = (keylib.hash_mix(flat_hi, flat_lo, salt=salt + 13)
+              % jnp.uint32(num_buckets)).astype(jnp.int32)
+    static_rows = static_table[bucket].astype(ev_rows.dtype)
+    return jnp.where(hot[:, None], ev_rows, static_rows)

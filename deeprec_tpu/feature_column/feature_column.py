@@ -124,6 +124,17 @@ class EmbeddingColumn:
     # (``embedding_variable_ops_test.py:608`` weighted-sum-from-
     # feature-column behavior).
     weight_name: Optional[str] = None
+    # ``categorical_column_with_adaptive_embedding`` analog
+    # (``feature_column_v2.py:2058``, ``docs/Adaptive-Embedding.md``):
+    # cold ids share a static hash-bucket table (a dense param under
+    # params["adaptive_static"][table]; create with
+    # ``EmbeddingGroup.adaptive_static_params``), hot ids get
+    # collision-free EV rows seeded from their static row when they
+    # cross the threshold. Hotness is the EV's own frequency counter
+    # (online) instead of the reference's precomputed
+    # ``adaptive_mask_tensors``.
+    adaptive_hot_threshold: Optional[int] = None
+    adaptive_buckets: int = 1 << 16
 
     @property
     def table_name(self) -> str:
@@ -137,7 +148,10 @@ class EmbeddingColumn:
             initializer=self.initializer, init_scale=scale,
             ev_option=self.ev_option, combiner=self.combiner,
             max_probes=self.max_probes, block_num=self.dyn_dim_blocks,
-            dyn_dim_thresholds=self.dyn_dim_thresholds)
+            dyn_dim_thresholds=self.dyn_dim_thresholds,
+            adaptive_hot_threshold=self.adaptive_hot_threshold,
+            adaptive_buckets=(self.adaptive_buckets
+                              if self.adaptive_hot_threshold else 0))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +159,15 @@ class SequenceEmbeddingColumn(EmbeddingColumn):
     """Behavior-sequence column: lookup returns per-position rows
     [B, L, dim] plus the mask instead of a combined bag (DIN/DIEN/BST
     input, ``modelzoo/DIN/train.py`` sequence features)."""
+
+
+class AdaptiveBits(NamedTuple):
+    """Per-unique adaptive routing (hot id -> EV row, cold -> static
+    bucket); see ``embedding/adaptive.py``."""
+
+    hot: jax.Array        # [n_unique] bool
+    newly_hot: jax.Array  # [n_unique] bool
+    bucket: jax.Array     # [n_unique] int32 static-table row
 
 
 class ColumnLookup(NamedTuple):
@@ -156,6 +179,7 @@ class ColumnLookup(NamedTuple):
     mask: jax.Array      # [B, L]
     routing: Optional[sharded.Routing]  # sharded mode only
     weights: Optional[jax.Array] = None  # [B, L] per-id weights
+    adp: Optional[AdaptiveBits] = None   # adaptive columns only
 
 
 class GroupLookup(NamedTuple):
@@ -240,6 +264,26 @@ class EmbeddingGroup:
                 self._add_table(base_cfg)
                 self._add_table(hot_cfg, inherit=base_cfg.name)
                 self._dyn_hot[name] = hot_cfg.name
+        # Adaptive tables bypass coalescing (their lookup produces
+        # hot/bucket routing the merged pipeline cannot share) and are
+        # only supported unsharded/replicated: the static half is a
+        # dense param, so row-sharding the EV half would split one
+        # logical id space across two placement schemes.
+        for name in [n for n, tc in logical.items()
+                     if tc.adaptive_hot_threshold is not None]:
+            tc = logical.pop(name)
+            if tc.block_num > 1:
+                raise ValueError(
+                    f"table {name}: adaptive embedding cannot combine "
+                    "with dynamic-dimension blocks")
+            if self.num_shards > 1:
+                raise NotImplementedError(
+                    f"table {name}: adaptive embedding is single-shard "
+                    "only for now (the static bucket table is a dense "
+                    "replicated param; the EV half would need its own "
+                    "exchange for hot/bucket routing)")
+            self._phys_of[name] = (name, 0)
+            self._add_table(tc)
         if coalesce:
             groups: Dict[tuple, list] = {}
             for name, tc in logical.items():
@@ -557,7 +601,19 @@ class EmbeddingGroup:
         def _table_lookup(tname, cfg, ids_hi, ids_lo):
             """One physical table's lookup under its placement. Updates
             ``new_states[tname]``/``lks[tname]``; returns (routing,
-            inverse, mask)."""
+            inverse, mask, adaptive_bits)."""
+            if cfg.adaptive_hot_threshold is not None:
+                from deeprec_tpu.embedding import adaptive as adlib
+                st, al = adlib.lookup_train(
+                    cfg, new_states[tname], ids_hi, ids_lo, global_step,
+                    hot_threshold=cfg.adaptive_hot_threshold,
+                    num_buckets=cfg.adaptive_buckets,
+                    salt=self.salts[tname])
+                new_states[tname] = st
+                lks[tname] = al.lk
+                return None, al.inverse, al.mask, AdaptiveBits(
+                    hot=al.hot, newly_hot=al.newly_hot,
+                    bucket=al.bucket)
             if self.axis_name is not None and self._is_stacked(tname):
                 local = sharded.local_of(new_states[tname])
                 local, sbl = sharded.bag_lookup_train(
@@ -568,7 +624,7 @@ class EmbeddingGroup:
                 new_states[tname] = sharded.stacked_of(local)
                 lks[tname] = sbl.lk
                 r = sbl.routing
-                return r, r.inverse, r.mask
+                return r, r.inverse, r.mask, None
             if (self.axis_name is not None
                     and self.placement.get(tname) == "replicated"):
                 st, (lk, r) = sharded.bag_lookup_train_replicated(
@@ -576,19 +632,19 @@ class EmbeddingGroup:
                     axis_name=self.axis_name, salt=self.salts[tname])
                 new_states[tname] = st
                 lks[tname] = lk
-                return r, r.inverse, r.mask
+                return r, r.inverse, r.mask, None
             st, bl = lkup.bag_lookup_train(
                 cfg, new_states[tname], ids_hi, ids_lo, global_step,
                 salt=self.salts[tname])
             new_states[tname] = st
             lks[tname] = bl.lk
-            return None, bl.inverse, bl.mask
+            return None, bl.inverse, bl.mask, None
 
         for tname, tcols in by_table.items():
             cfg = self.tables[tname]
             ids_hi, ids_lo, widths = self._packed_view(batch, tname, tcols)
-            routing, inverse, mask = _table_lookup(tname, cfg,
-                                                   ids_hi, ids_lo)
+            routing, inverse, mask, adp = _table_lookup(tname, cfg,
+                                                        ids_hi, ids_lo)
             off = 0
             for c, w in zip(tcols, widths):
                 cw = (jnp.asarray(batch[c.weight_name])
@@ -597,7 +653,7 @@ class EmbeddingGroup:
                     column=c, table_name=tname,
                     inverse=inverse[:, off:off + w],
                     mask=mask[:, off:off + w],
-                    routing=routing, weights=cw)
+                    routing=routing, weights=cw, adp=adp)
                 off += w
             hname = self._dyn_hot.get(tname)
             if hname is not None:
@@ -606,8 +662,8 @@ class EmbeddingGroup:
                 # results land under "<col>#hot" and are concatenated
                 # back in :meth:`combine`.
                 hcfg = self.tables[hname]
-                hrouting, hinv, hmask = _table_lookup(hname, hcfg,
-                                                      ids_hi, ids_lo)
+                hrouting, hinv, hmask, _ = _table_lookup(hname, hcfg,
+                                                         ids_hi, ids_lo)
                 off = 0
                 for c, w in zip(tcols, widths):
                     cols[c.name + "#hot"] = ColumnLookup(
@@ -619,8 +675,12 @@ class EmbeddingGroup:
                     off += w
         return new_states, GroupLookup(lks=lks, columns=cols)
 
-    def combine(self, gl: GroupLookup, rows: Dict[str, jax.Array]):
-        """rows[table] -> per-column embeddings. Differentiable in rows.
+    def combine(self, gl: GroupLookup, rows: Dict[str, jax.Array],
+                params: Optional[Dict] = None):
+        """rows[table] -> per-column embeddings. Differentiable in rows
+        (and, for adaptive columns, in the static tables under
+        ``params["adaptive_static"]`` — pass the model params so cold-id
+        gradients flow to them through the dense optimizer).
 
         Bag columns -> [B, dim]; SequenceEmbeddingColumn -> ([B, L, dim],
         mask [B, L]).
@@ -651,6 +711,13 @@ class EmbeddingGroup:
                 local_rows[tname] = rows[tname]
         for cname, cl in gl.columns.items():
             r = local_rows[cl.table_name]
+            if cl.adp is not None:
+                # Adaptive: hot uniques use their EV row, cold uniques
+                # the static hash bucket; jnp.where routes each id's
+                # cotangent to exactly one side.
+                static = self._adaptive_static(params, cl.table_name)
+                r = jnp.where(cl.adp.hot[:, None], r,
+                              static[cl.adp.bucket].astype(r.dtype))
             if isinstance(cl.column, SequenceEmbeddingColumn):
                 seq = r[cl.inverse] * cl.mask[..., None].astype(r.dtype)
                 out[cname] = (seq, cl.mask)
@@ -732,6 +799,67 @@ class EmbeddingGroup:
                 seen.add(cl.table_name)
                 tot = tot + cl.routing.n_overflow
         return tot
+
+    # -- adaptive embedding -------------------------------------------------
+    @property
+    def adaptive_tables(self) -> Dict[str, cfglib.TableConfig]:
+        return {t: c for t, c in self.tables.items()
+                if c.adaptive_hot_threshold is not None}
+
+    @staticmethod
+    def _adaptive_static(params, tname: str):
+        try:
+            return params["adaptive_static"][tname]
+        except (TypeError, KeyError):
+            raise ValueError(
+                f"adaptive table {tname!r} needs its static bucket "
+                "table: merge EmbeddingGroup.adaptive_static_params() "
+                "into the model params and pass params= to combine()"
+            ) from None
+
+    def adaptive_static_params(self, seed: int = 0) -> Dict:
+        """Dense static bucket tables for every adaptive column, to be
+        merged into the model params:
+        ``params = {**params, **group.adaptive_static_params()}``.
+        They train through the dense optimizer (cold-id gradients);
+        checkpoints carry them with the rest of the params."""
+        from deeprec_tpu.utils import stateless_random as srand
+
+        out = {}
+        for tname, cfg in self.adaptive_tables.items():
+            b = jnp.arange(cfg.adaptive_buckets, dtype=jnp.int32)
+            hi = jnp.full_like(b, self.salts[tname] + seed)
+            out[tname] = srand.init_rows(
+                cfg.initializer, hi, b, cfg.dim, cfg.init_scale,
+                salt=self.salts[tname])
+        return {"adaptive_static": out} if out else {}
+
+    def migrate_adaptive(self, states, gl: "GroupLookup", params):
+        """Value-reuse migration (the reference's adaptive
+        ``adaptive_embedding_lookup_sparse`` seeding): uniques that just
+        crossed the hot threshold replace their freshly-initialized EV
+        row with the static row they trained in, INSIDE ``lk.rows`` —
+        the differentiable input — so this step's forward already uses
+        the trained value and the sparse apply writes
+        ``seed - lr * g`` back to the EV. Call between lookup_train and
+        the loss; no-op without adaptive columns. ``params`` is read as
+        a constant here (the one-step static-grad handoff ends when an
+        id goes hot)."""
+        if not self.adaptive_tables:
+            return states, gl
+        new_lks = dict(gl.lks)
+        seen = set()
+        for cl in gl.columns.values():
+            t = cl.table_name
+            if cl.adp is None or t in seen:
+                continue
+            seen.add(t)
+            static = self._adaptive_static(params, t)
+            lk = new_lks[t]
+            seed = static[cl.adp.bucket].astype(lk.rows.dtype)
+            new_lks[t] = lk._replace(rows=jnp.where(
+                cl.adp.newly_hot[:, None], seed, lk.rows))
+        return states, gl._replace(lks=new_lks)
 
     def numeric_features(self, batch):
         """Stack numeric columns -> [B, sum(shapes)] float32."""

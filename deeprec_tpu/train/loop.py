@@ -92,10 +92,14 @@ def make_train_step(
     def _step(ts: TrainState, batch):
         gs = ts.step
         states, gl = group.lookup_train(ts.ev, batch, gs)
+        # Adaptive columns: newly-hot uniques take their trained static
+        # row as this step's EV row (value-reuse migration); no-op
+        # otherwise.
+        states, gl = group.migrate_adaptive(states, gl, ts.params)
         rows = {t: lk.rows for t, lk in gl.lks.items()}
 
         def loss_of(params, rows, mb_batch, mb_gl):
-            embs = group.combine(mb_gl, rows)
+            embs = group.combine(mb_gl, rows, params)
             out = apply_fn(params, embs, mb_batch)
             per_ex = loss_fn(out, mb_batch)
             denom = per_ex.shape[0] * micro_batch_num
@@ -255,7 +259,19 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
             state = (shlib.local_of(ts.ev[tname]) if stacked
                      else ts.ev[tname])
             B, L = ids_hi.shape
-            if stacked:
+            if cfg.adaptive_hot_threshold is not None:
+                # Adaptive (single-shard): resident-and-hot ids read
+                # their EV row, everything else its static bucket.
+                from deeprec_tpu.embedding import adaptive as adlib
+                static = fclib.EmbeddingGroup._adaptive_static(
+                    ts.params, tname)
+                local_rows = adlib.lookup_infer(
+                    cfg, state, ids_hi, ids_lo, static,
+                    hot_threshold=cfg.adaptive_hot_threshold,
+                    num_buckets=cfg.adaptive_buckets,
+                    salt=group.salts[tname])
+                inverse = jnp.arange(B * L).reshape(B, L)
+            elif stacked:
                 # Shared sharded read path (the bag_lookup_infer core) —
                 # returns per-unique rows + inverse for column slicing.
                 local_rows, inverse, _ = shlib.lookup_rows_infer(
