@@ -59,6 +59,11 @@ def parse_args(argv=None):
                    help="counting-Bloom admission instead of exact")
     p.add_argument("--steps_to_live", type=int, default=0)
     p.add_argument("--l2_evict", type=float, default=0.0)
+    p.add_argument("--adaptive_emb", action="store_true",
+                   help="hot ids in EV, cold ids in a static bucket "
+                        "table (adaptive embedding)")
+    p.add_argument("--adaptive_threshold", type=int, default=3)
+    p.add_argument("--adaptive_buckets", type=int, default=1 << 14)
     # graph/pipeline toggles
     p.add_argument("--no_emb_fusion", action="store_true",
                    help="disable table coalescing")
@@ -128,6 +133,11 @@ def main(argv=None):
                 if args.l2_evict else None))
         cols = [dataclasses.replace(c, ev_option=evo)
                 if isinstance(c, EmbeddingColumn) else c for c in cols]
+    if args.adaptive_emb:
+        cols = [dataclasses.replace(
+                    c, adaptive_hot_threshold=args.adaptive_threshold,
+                    adaptive_buckets=args.adaptive_buckets)
+                if isinstance(c, EmbeddingColumn) else c for c in cols]
     group = EmbeddingGroup(cols, coalesce=not args.no_emb_fusion)
 
     mk = dict(MODULE_KWARGS[args.model])
@@ -175,15 +185,22 @@ def main(argv=None):
     d0 = make_data(args.seed)
     b0 = group.pack_batch(d0.next_batch())
 
+    # Adaptive static bucket tables must exist before the first
+    # combine() — cold ids read them in the forward pass.
+    adp_params = (group.adaptive_static_params(args.seed)
+                  if args.adaptive_emb else {})
+
     @jax.jit
     def _init(states, b, key):
         _, gl = group.lookup_train(states, b, 0)
-        embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()})
+        embs = group.combine(gl, {t: lk.rows for t, lk in gl.lks.items()},
+                             params=adp_params or None)
         if is_seq:
             return module.init(key, embs)["params"]
         return module.init(key, embs, group.numeric_features(b))["params"]
 
     params = _init(group.create_state(), b0, jax.random.key(args.seed))
+    params = {**params, **adp_params}
 
     opt = sopt.SparseAdagrad(learning_rate=args.learning_rate)
     if args.dense.startswith("adam"):
