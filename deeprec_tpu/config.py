@@ -191,8 +191,28 @@ class TableConfig:
     # they trained in. None disables.
     adaptive_hot_threshold: Optional[int] = None
     adaptive_buckets: int = 0
+    # Static hash-bucket table (``categorical_column_with_hash_bucket``
+    # + ``embedding_column``, the reference's default column type,
+    # ``modelzoo/WDL/train.py:348``): ``capacity`` = total bucket count
+    # (any positive int), the full matrix is initialized at creation,
+    # ids address rows by ``offset + id mod buckets`` computed in the
+    # group transform, and there is no hash table / admission /
+    # eviction / metadata.
+    static_buckets: bool = False
 
     def __post_init__(self):
+        if self.dim <= 0:
+            raise ValueError(f"table {self.name}: dim must be positive")
+        if self.static_buckets:
+            if self.capacity < 1:
+                raise ValueError(
+                    f"table {self.name}: static bucket count must be "
+                    "positive")
+            if self.block_num > 1 or self.adaptive_hot_threshold:
+                raise ValueError(
+                    f"table {self.name}: static buckets cannot combine "
+                    "with dynamic-dim or adaptive embedding")
+            return
         if self.capacity & (self.capacity - 1):
             raise ValueError(
                 f"table {self.name}: capacity {self.capacity} must be a "

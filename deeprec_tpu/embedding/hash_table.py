@@ -243,6 +243,13 @@ def find_or_insert(
         full-width rounds claim on any reusable slot, matching the
         original semantics (the full window always contains the match
         if one exists).
+
+        The claim scatter + key write only execute when at least one id
+        actually wants to insert (a 1-trip ``while_loop``): in steady
+        state every id is already present and the round costs just the
+        probe scan — scatters price per *index* on this platform (see
+        ``tools/exp_primitives.py``), so an all-dropped claim pass would
+        still pay ~11 ms at headline batch sizes.
         """
         r, key_pair, slots, is_new, pending = state
         found, found_slot, has_reuse, reuse_slot, saw_empty = _scan(
@@ -256,16 +263,26 @@ def find_or_insert(
         want = pending & has_reuse & want_insert
         if need_empty_proof:
             want = want & saw_empty
-        prop = jnp.where(want, reuse_slot, capacity)
-        claim = jnp.full((capacity + 1,), n, dtype=jnp.int32)
-        claim = claim.at[prop].min(jnp.where(want, tokens, n))
-        won = want & (claim[prop] == tokens)
-        widx = jnp.where(won, prop, capacity)  # capacity OOB for [C] => drop
-        key_pair = key_pair.at[widx].set(
-            jnp.stack([qhi, qlo], axis=-1), mode="drop")
-        slots = jnp.where(won, prop, slots)
-        is_new = is_new | won
-        pending = pending & ~won
+
+        def claim_body(cstate):
+            key_pair, slots, is_new, pending, _ = cstate
+            prop = jnp.where(want, reuse_slot, capacity)
+            claim = jnp.full((capacity + 1,), n, dtype=jnp.int32)
+            claim = claim.at[prop].min(jnp.where(want, tokens, n))
+            won = want & (claim[prop] == tokens)
+            widx = jnp.where(won, prop, capacity)  # capacity OOB => drop
+            key_pair = key_pair.at[widx].set(
+                jnp.stack([qhi, qlo], axis=-1), mode="drop")
+            slots = jnp.where(won, prop, slots)
+            is_new = is_new | won
+            pending = pending & ~won
+            return (key_pair, slots, is_new, pending,
+                    jnp.bool_(False) | (qhi[0] != qhi[0]))
+
+        key_pair, slots, is_new, pending, _ = jax.lax.while_loop(
+            lambda cs: cs[4] & jnp.any(want), claim_body,
+            (key_pair, slots, is_new, pending,
+             jnp.bool_(True) | (qhi[0] != qhi[0])))
         return (r + 1, key_pair, slots, is_new, pending), saw_empty
 
     # Derive initial carries from the (possibly axis-varying) queries so

@@ -88,6 +88,7 @@ class BagLookup(NamedTuple):
     lk: ev.LookupResult          # per-unique-id lookup (rows is diff input)
     inverse: jax.Array           # [B, L]
     mask: jax.Array              # [B, L]
+    n_overflow: jax.Array = jnp.int32(0)  # uniques dropped by the budget
 
 
 def bag_lookup_train(
@@ -97,17 +98,38 @@ def bag_lookup_train(
     ids_lo,
     global_step,
     salt: int = 0,
+    unique_budget=None,
 ) -> tuple[ev.EVState, BagLookup]:
-    """Training lookup for one padded-dense sparse feature [B, L]."""
+    """Training lookup for one padded-dense sparse feature [B, L].
+
+    Default path is the sort-free occurrence lookup
+    (:func:`deeprec_tpu.embedding.variable.lookup_train_occ` — dedup by
+    probe-claim instead of ``jnp.unique``); CBF-filtered tables fall
+    back to the sorted path because CBF admission needs per-unique
+    counts before insertion.
+    """
     B, L = ids_hi.shape
     flat_hi = ids_hi.reshape(-1)
     flat_lo = ids_lo.reshape(-1)
-    dd = dedup(flat_hi, flat_lo)
-    state, lk = ev.lookup_train(
-        cfg, state, dd.uhi, dd.ulo, dd.counts, global_step, salt=salt)
     mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
-    return state, BagLookup(lk=lk, inverse=dd.inverse.reshape(B, L),
-                            mask=mask)
+    if cfg.static_buckets:
+        state, occ = ev.lookup_train_static(
+            cfg, state, flat_hi, flat_lo, global_step,
+            budget=unique_budget)
+        return state, BagLookup(lk=occ.lk,
+                                inverse=occ.inverse.reshape(B, L),
+                                mask=mask, n_overflow=occ.n_overflow)
+    if isinstance(cfg.ev_option.filter_option, cfglib.CBFFilter):
+        dd = dedup(flat_hi, flat_lo)
+        state, lk = ev.lookup_train(
+            cfg, state, dd.uhi, dd.ulo, dd.counts, global_step, salt=salt)
+        return state, BagLookup(lk=lk, inverse=dd.inverse.reshape(B, L),
+                                mask=mask)
+    state, occ = ev.lookup_train_occ(
+        cfg, state, flat_hi, flat_lo, global_step, salt=salt,
+        budget=unique_budget)
+    return state, BagLookup(lk=occ.lk, inverse=occ.inverse.reshape(B, L),
+                            mask=mask, n_overflow=occ.n_overflow)
 
 
 def bag_lookup_infer(cfg: cfglib.TableConfig, state: ev.EVState,

@@ -99,6 +99,26 @@ def create(cfg: cfglib.TableConfig, salt: int = 0) -> EVState:
         # arrays to replicated shardings, which clashes with uniform
         # P(axis) specs when the state crosses a shard_map boundary.
         bloom = jnp.zeros((1,), jnp.int32)
+    if cfg.static_buckets:
+        # Static hash-bucket table: the full matrix is initialized up
+        # front (the reference initializes the whole tf.Variable) with
+        # per-row stateless draws; the sentinel row (index N) stays 0.
+        # No hash table / metadata — dummy minimal arrays keep the
+        # pytree shape uniform for checkpoints and shard_map specs.
+        row_hi = jnp.full((capacity,), 7777 + salt, jnp.int32)
+        row_lo = jnp.arange(capacity, dtype=jnp.int32)
+        mat = srand.init_rows(cfg.initializer, row_hi, row_lo, dim,
+                              cfg.init_scale, salt=salt)
+        values = jnp.concatenate(
+            [mat, jnp.zeros((1, dim), jnp.float32)]).astype(cfg.dtype)
+        return EVState(
+            table=ht.create(1),
+            values=values,
+            freqs=jnp.zeros((1,), jnp.int32),
+            versions=jnp.full((1,), -1, jnp.int32),
+            default_bank=bank.astype(cfg.dtype),
+            bloom=bloom,
+        )
     return EVState(
         table=ht.create(capacity),
         values=jnp.zeros((capacity + 1, dim), cfg.dtype),
@@ -214,6 +234,235 @@ def lookup_train(
         prev_versions=prev_versions, qhi=qhi, qlo=qlo)
 
 
+class OccLookup(NamedTuple):
+    """Result of :func:`lookup_train_occ`: unique-level lookup plus the
+    occurrence→unique mapping, produced without any sort."""
+
+    lk: LookupResult     # unique-level; arrays sized [U+1] (row U = shared
+    #                      overflow/padding pseudo-unique, never trained)
+    inverse: jax.Array   # [n] int32 in [0, U]
+    n_overflow: jax.Array  # [] int32 — distinct ids dropped by the budget
+
+
+def lookup_train_occ(
+    cfg: cfglib.TableConfig,
+    state: EVState,
+    qhi,
+    qlo,
+    global_step,
+    salt: int = 0,
+    budget: Optional[int] = None,
+) -> tuple[EVState, OccLookup]:
+    """Training lookup straight from per-occurrence ids — the sort-free
+    replacement for ``dedup()`` + :func:`lookup_train`.
+
+    ``jnp.unique`` costs ~20 ms at headline batch sizes on v5e while the
+    hash probe already resolves every occurrence to a slot, and slots
+    are a perfect id fingerprint — so dedup falls out of one extra
+    scatter-min ("first occurrence of each slot is the representative")
+    instead of a sort (``tools/exp_primitives.py`` measurements; the
+    reference's analog is the host-threaded ``UniqueAliOp``,
+    ``core/kernels/unique_ali_op.cc:47``).
+
+    ``budget`` caps the number of distinct ids the step trains (static
+    shape U): every downstream row op (gather/apply scatters) shrinks
+    from n occurrences to U uniques.  For mod-bucket id spaces the exact
+    bound is known (sum of per-column ``min(num_buckets, B*L)``); ids
+    beyond the budget read the default row and receive no update, and
+    the count is surfaced (``n_overflow``).  ``budget=None`` means U=n:
+    exact for arbitrary ids.
+
+    Not valid for CBF-filtered tables (admission needs per-unique counts
+    *before* insertion) — callers fall back to the sorted path.
+    """
+    if isinstance(cfg.ev_option.filter_option, cfglib.CBFFilter):
+        raise ValueError("lookup_train_occ does not support CBF filters")
+    capacity = cfg.capacity
+    n = qhi.shape[0]
+    U = n if budget is None else min(budget, n)
+    is_real = qhi != keylib.EMPTY_HI
+
+    table, slots, is_new = ht.find_or_insert(
+        state.table, qhi, qlo, is_real, max_probes=cfg.max_probes)
+
+    # Representatives: the first occurrence of each slot. Overflow ids
+    # (slot == capacity) are each their own representative so they keep
+    # their per-id default row (default_value_dim > 1 semantics).
+    tokens = jnp.arange(n, dtype=jnp.int32)
+    in_tab = slots < capacity
+    slot_d = jnp.minimum(slots, capacity)
+    first = jnp.full((capacity + 1,), n, jnp.int32).at[
+        jnp.where(is_real & in_tab, slots, capacity)].min(
+        jnp.where(is_real & in_tab, tokens, n))
+    rep_token = jnp.where(in_tab, first[slot_d], tokens)
+    rep = is_real & (rep_token == tokens)
+
+    # Compact representatives to the static budget. Padding u_idx = n.
+    u_idx = jnp.nonzero(rep, size=U, fill_value=n)[0].astype(jnp.int32)
+    pad = u_idx >= n
+    safe_u = jnp.minimum(u_idx, n - 1)
+    # rank[t] = position of rep token t in the compacted list; U for
+    # everything else (dropped reps, non-reps, padding slot n).
+    rank = jnp.full((n + 1,), U, jnp.int32).at[u_idx].set(
+        jnp.where(pad, U, jnp.arange(U, dtype=jnp.int32)))
+    inverse = rank[jnp.minimum(jnp.where(is_real, rep_token, n), n)]
+    n_rep = jnp.sum(rep.astype(jnp.int32))
+    n_overflow = jnp.maximum(n_rep - jnp.int32(U), 0)
+
+    # Unique-level arrays, one extra row for the overflow pseudo-unique.
+    uhi = jnp.concatenate(
+        [jnp.where(pad, keylib.EMPTY_HI, qhi[safe_u]),
+         jnp.asarray([keylib.EMPTY_HI], jnp.int32)])
+    ulo = jnp.concatenate(
+        [jnp.where(pad, keylib.EMPTY_LO, qlo[safe_u]),
+         jnp.asarray([keylib.EMPTY_LO], jnp.int32)])
+    uslots = jnp.concatenate(
+        [jnp.where(pad, capacity, slots[safe_u]),
+         jnp.asarray([capacity], jnp.int32)])
+    u_new = jnp.concatenate(
+        [jnp.where(pad, False, is_new[safe_u]),
+         jnp.asarray([False], jnp.bool_)])
+
+    # Bookkeeping. Freq reset happens at the OCCURRENCE level so ids
+    # inserted while beyond the budget still start their count clean;
+    # it only executes when this batch actually inserted something
+    # (steady state skips it — scatters price per index,
+    # tools/exp_primitives.py).
+    def freq_reset_body(st):
+        freqs, _ = st
+        new_occ = jnp.where(is_new, slots, capacity + 1 + tokens)
+        freqs = freqs.at[new_occ].set(0, mode="drop")
+        return freqs, jnp.bool_(False) | (qhi[0] != qhi[0])
+
+    freqs, _ = jax.lax.while_loop(
+        lambda st: st[1] & jnp.any(is_new), freq_reset_body,
+        (state.freqs, jnp.bool_(True) | (qhi[0] != qhi[0])))
+
+    # Per-occurrence frequency add (replaces dedup counts); distinct
+    # OOB indices for dropped entries keep the sentinel row clean.
+    occ_idx = jnp.where(is_real & in_tab, slots, capacity + 1 + tokens)
+    freqs = freqs.at[occ_idx].add(1, mode="drop")
+
+    usafe = jnp.minimum(uslots, capacity)
+    widx = _drop_idx(uslots, capacity)
+    u_in = uslots < capacity
+    raw_prev = state.versions[usafe]
+    # Row init triggers at the FIRST TRAINED touch (version < 0), not at
+    # insertion: an id inserted while beyond the budget reaches its
+    # first u-level appearance with is_new already False, and a reused
+    # tombstone slot holds stale rows — version < 0 covers both (shrink/
+    # delete reset versions to -1; checkpoint import restores real
+    # ones).  Exposed as ``is_new`` so optimizers reset slot rows too.
+    u_new = u_in & ((raw_prev < 0) | u_new)
+
+    def fresh_body(st):
+        values, _ = st
+        new_idx = jnp.where(u_new, uslots, capacity + 1)
+        fresh_rows = srand.init_rows(
+            cfg.initializer, uhi, ulo, cfg.dim, cfg.init_scale,
+            salt=salt).astype(values.dtype)
+        values = values.at[new_idx].set(fresh_rows, mode="drop")
+        return values, jnp.bool_(False) | (uhi[0] != uhi[0])
+
+    values, _ = jax.lax.while_loop(
+        lambda st: st[1] & jnp.any(u_new), fresh_body,
+        (state.values, jnp.bool_(True) | (uhi[0] != uhi[0])))
+
+    prev_versions = jnp.where(
+        u_new, jnp.int32(global_step), raw_prev)
+    versions = state.versions.at[widx].set(
+        jnp.full(uslots.shape, global_step, jnp.int32), mode="drop")
+    f = cfg.ev_option.filter_option
+    freq_rows = freqs[usafe]
+    if isinstance(f, cfglib.CounterFilter) and f.filter_freq > 0:
+        admitted = u_in & (freq_rows >= f.filter_freq)
+    else:
+        admitted = u_in
+
+    rows = jnp.where(
+        admitted[:, None],
+        values[usafe],
+        _default_rows(cfg, state, uhi, ulo),
+    )
+    rows = _dyn_dim_mask(cfg, rows, freq_rows)
+    new_state = EVState(
+        table=table, values=values, freqs=freqs, versions=versions,
+        default_bank=state.default_bank, bloom=state.bloom)
+    return new_state, OccLookup(
+        lk=LookupResult(slots=uslots, rows=rows, admitted=admitted,
+                        is_new=u_new, prev_versions=prev_versions,
+                        qhi=uhi, qlo=ulo),
+        inverse=inverse, n_overflow=n_overflow)
+
+
+def lookup_train_static(
+    cfg: cfglib.TableConfig,
+    state: EVState,
+    qhi,
+    qlo,
+    global_step,
+    budget: Optional[int] = None,
+) -> tuple[EVState, OccLookup]:
+    """Training lookup for a STATIC hash-bucket table — the reference's
+    default column type (``categorical_column_with_hash_bucket`` +
+    ``embedding_column``, ``modelzoo/WDL/train.py:348``): a fixed
+    [num_buckets, dim] matrix, fully initialized at creation, addressed
+    by ``id mod num_buckets`` with collisions allowed by design.
+
+    The group's transform already mapped ids to bucket slots (the lo
+    half carries ``offset + id mod N``), so there is no hash table, no
+    probe, no insert, no admission and no metadata writes — the step
+    cost is one claim-dedup plus the row gather.  State passes through
+    untouched; training happens through the sparse optimizer exactly as
+    for EV tables (adagrad on touched rows is update-identical to the
+    reference's dense optimizer on a static matrix).
+    """
+    N = cfg.capacity
+    n = qhi.shape[0]
+    U = n if budget is None else min(budget, n)
+    is_real = qhi != keylib.EMPTY_HI
+    tokens = jnp.arange(n, dtype=jnp.int32)
+    slots = jnp.where(is_real, qlo, N)
+
+    first = jnp.full((N + 1,), n, jnp.int32).at[slots].min(
+        jnp.where(is_real, tokens, n))
+    rep_token = first[slots]
+    rep = is_real & (rep_token == tokens)
+
+    u_idx = jnp.nonzero(rep, size=U, fill_value=n)[0].astype(jnp.int32)
+    pad = u_idx >= n
+    safe_u = jnp.minimum(u_idx, n - 1)
+    rank = jnp.full((n + 1,), U, jnp.int32).at[u_idx].set(
+        jnp.where(pad, U, jnp.arange(U, dtype=jnp.int32)))
+    inverse = rank[jnp.minimum(jnp.where(is_real, rep_token, n), n)]
+    n_overflow = jnp.maximum(jnp.sum(rep.astype(jnp.int32))
+                             - jnp.int32(U), 0)
+
+    uhi = jnp.concatenate(
+        [jnp.where(pad, keylib.EMPTY_HI, qhi[safe_u]),
+         jnp.asarray([keylib.EMPTY_HI], jnp.int32)])
+    ulo = jnp.concatenate(
+        [jnp.where(pad, keylib.EMPTY_LO, qlo[safe_u]),
+         jnp.asarray([keylib.EMPTY_LO], jnp.int32)])
+    uslots = jnp.concatenate(
+        [jnp.where(pad, N, slots[safe_u]), jnp.asarray([N], jnp.int32)])
+    rows = state.values[uslots]
+    falsev = jnp.zeros(uslots.shape, jnp.bool_)
+    lk = LookupResult(
+        slots=uslots, rows=rows, admitted=uslots < N, is_new=falsev,
+        prev_versions=jnp.full(uslots.shape, global_step, jnp.int32),
+        qhi=uhi, qlo=ulo)
+    return state, OccLookup(lk=lk, inverse=inverse,
+                            n_overflow=n_overflow)
+
+
+def lookup_static(cfg: cfglib.TableConfig, state: EVState, qhi, qlo):
+    """Inference lookup on a static bucket table (slots in lo)."""
+    N = cfg.capacity
+    is_real = qhi != keylib.EMPTY_HI
+    return state.values[jnp.where(is_real, qlo, N)]
+
+
 def _dyn_dim_mask(cfg: cfglib.TableConfig, rows, freqs_rows):
     """Dynamic-dimension EV: zero the blocks a key's frequency has not
     yet unlocked (reference lookup path ``python/ops/embedding_ops.py:175``
@@ -234,6 +483,8 @@ def _dyn_dim_mask(cfg: cfglib.TableConfig, rows, freqs_rows):
 def lookup(cfg: cfglib.TableConfig, state: EVState, qhi, qlo) -> jax.Array:
     """Inference-path lookup: no mutation; missing/unadmitted keys read
     the default bank. Returns rows [n, dim]."""
+    if cfg.static_buckets:
+        return lookup_static(cfg, state, qhi, qlo)
     capacity = cfg.capacity
     slots = ht.find(state.table, qhi, qlo, max_probes=cfg.max_probes)
     in_table = slots < capacity
@@ -323,7 +574,18 @@ def export_arrays(cfg: cfglib.TableConfig, state: EVState) -> dict[str, np.ndarr
     """Host-side snapshot of live rows: keys/values/freqs/versions.
 
     Analog of ``EmbeddingVar::GetSnapshot`` (``embedding_var.h:211``).
+
+    Static bucket tables export every row with the bucket index as the
+    key (their id space IS the row space).
     """
+    if cfg.static_buckets:
+        N = cfg.capacity
+        return {
+            "keys": np.arange(N, dtype=np.int64),
+            "values": np.asarray(state.values)[:N],
+            "freqs": np.zeros((N,), np.int32),
+            "versions": np.zeros((N,), np.int32),
+        }
     key_hi = np.asarray(state.table.key_hi)
     key_lo = np.asarray(state.table.key_lo)
     ids = keylib.join_ids(key_hi, key_lo)
@@ -367,6 +629,25 @@ def import_arrays(
     """
     ids = np.asarray(arrays["keys"], np.int64)
     extra_names = list(extra_targets.keys()) if extra_targets else []
+    if cfg.static_buckets:
+        # Keys are row indices; restore is a direct (re-)assignment.
+        idx = jnp.asarray(ids, jnp.int32)
+        state = state.replace(values=state.values.at[idx].set(
+            jnp.asarray(arrays["values"]).astype(state.values.dtype),
+            mode="drop"))
+        extras_dev = dict(extra_targets) if extra_targets else {}
+        for name in extra_names:
+            extras_dev[name] = extras_dev[name].at[idx].set(
+                jnp.asarray(arrays[f"slot/{name}"]).astype(
+                    extras_dev[name].dtype), mode="drop")
+        full = np.ones(ids.shape[0], bool) if return_mask else None
+        if return_mask:
+            if extra_targets is not None:
+                return state, extras_dev, full
+            return state, full
+        if extra_targets is not None:
+            return state, extras_dev
+        return state
     if partition_num > 1:
         hi_np, lo_np = keylib.split_ids(ids)
         owner = np.asarray(

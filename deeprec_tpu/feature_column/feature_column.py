@@ -97,6 +97,15 @@ class EmbeddingColumn:
     name: str
     dim: int
     capacity: int = 1 << 17
+    # Static hash-bucket column: ``categorical_column_with_hash_bucket``
+    # + ``embedding_column``, the reference's DEFAULT column type
+    # (``modelzoo/WDL/train.py:348``).  Requires ``num_buckets``; ids
+    # address a fully-initialized [num_buckets, dim] matrix by
+    # ``id mod num_buckets`` (collisions by design) — no hash table,
+    # probe, admission or eviction, so lookups cost a claim-dedup plus
+    # the row gather. Static columns of one dim class coalesce by
+    # bucket OFFSET (disjoint row ranges) instead of id salting.
+    static_bucket: bool = False
     combiner: str = "mean"
     initializer: str = "truncated_normal"
     # None -> 1/sqrt(dim), the reference embedding_column default
@@ -135,6 +144,12 @@ class EmbeddingColumn:
     # ``adaptive_mask_tensors``.
     adaptive_hot_threshold: Optional[int] = None
     adaptive_buckets: int = 1 << 16
+    # Declared id-space size (mod-bucket columns: the hash_bucket count).
+    # Lets the group bound the number of distinct ids a step can see —
+    # min(num_buckets, B*L) per column — and shrink every unique-level
+    # row op to that static budget (``variable.lookup_train_occ``).
+    # None (arbitrary 64-bit EV ids) keeps the exact budget U = n.
+    num_buckets: Optional[int] = None
 
     @property
     def table_name(self) -> str:
@@ -143,6 +158,16 @@ class EmbeddingColumn:
     def table_config(self) -> cfglib.TableConfig:
         scale = (self.init_scale if self.init_scale is not None
                  else self.dim ** -0.5)
+        if self.static_bucket:
+            if not self.num_buckets:
+                raise ValueError(
+                    f"column {self.name}: static_bucket requires "
+                    "num_buckets")
+            return cfglib.TableConfig(
+                name=self.table_name, dim=self.dim,
+                capacity=int(self.num_buckets),
+                initializer=self.initializer, init_scale=scale,
+                combiner=self.combiner, static_buckets=True)
         return cfglib.TableConfig(
             name=self.table_name, dim=self.dim, capacity=self.capacity,
             initializer=self.initializer, init_scale=scale,
@@ -187,6 +212,9 @@ class GroupLookup(NamedTuple):
 
     lks: Dict[str, ev.LookupResult]      # per table (rows = diff inputs)
     columns: Dict[str, ColumnLookup]     # per column
+    # Distinct ids dropped by a table's unique budget this step
+    # (``lookup_train_occ``); {} when no table declares a budget.
+    budget_overflow: Dict[str, jax.Array] = {}
 
 
 class EmbeddingGroup:
@@ -264,6 +292,40 @@ class EmbeddingGroup:
                 self._add_table(base_cfg)
                 self._add_table(hot_cfg, inherit=base_cfg.name)
                 self._dyn_hot[name] = hot_cfg.name
+        # Static hash-bucket tables: coalesce members of one dim class
+        # by bucket OFFSET (disjoint row ranges in one matrix — the
+        # reference's own coalescing scheme, ``coalesced_utils.py``)
+        # rather than id salting, since rows are addressed by
+        # ``id mod buckets`` directly.
+        # Logical static table -> (row offset, bucket count).
+        self._static_map: Dict[str, tuple[int, int]] = {}
+        static_names = [n for n, tc in logical.items() if tc.static_buckets]
+        if static_names:
+            if self.num_shards > 1:
+                raise NotImplementedError(
+                    "static_bucket columns are single-shard for now "
+                    "(replicate/shard the matrix in a later round)")
+            groups: Dict[tuple, list] = {}
+            for name in static_names:
+                tc = logical.pop(name)
+                sig = ((tc.dim, tc.initializer, tc.init_scale,
+                        str(tc.dtype)) if coalesce else (name,))
+                groups.setdefault(sig, []).append((name, tc))
+            for sig, members in groups.items():
+                members = sorted(members)
+                total = sum(tc.capacity for _, tc in members)
+                base = members[0][1]
+                phys_name = (members[0][0] if len(members) == 1 else
+                             "static:" + ",".join(n for n, _ in members))
+                off = 0
+                for name, tc in members:
+                    self._phys_of[name] = (phys_name, 0)
+                    self._static_map[name] = (off, tc.capacity)
+                    off += tc.capacity
+                self._add_table(
+                    dataclasses.replace(base, name=phys_name,
+                                        capacity=total),
+                    members=[n for n, _ in members])
         # Adaptive tables bypass coalescing (their lookup produces
         # hot/bucket routing the merged pipeline cannot share) and are
         # only supported unsharded/replicated: the static half is a
@@ -422,6 +484,16 @@ class EmbeddingGroup:
         ids — bit-identical salting so host-packed batches equal
         device-packed ones."""
         hi, lo = keylib.split_ids(np.asarray(ids, np.int64))
+        st = self._static_map.get(column.table_name)
+        if st is not None:
+            off, nb = st
+            sent = (hi == keylib.EMPTY_HI) & (
+                (lo == keylib.EMPTY_LO) | (lo == keylib.TOMB_LO))
+            slot = (np.int64(off)
+                    + (np.asarray(ids, np.int64).view(np.uint64)
+                       % np.uint64(nb)).astype(np.int64)).astype(np.int32)
+            return (np.where(sent, hi, 0).astype(np.int32),
+                    np.where(sent, lo, slot).astype(np.int32))
         salt = self._phys_of[column.table_name][1]
         if salt == 0:
             return hi, lo
@@ -550,7 +622,19 @@ class EmbeddingGroup:
         """Per-logical-table id salt for coalesced tables: XOR distinct
         salts into both int64 halves of real ids. Only exact sentinels
         (EMPTY/TOMBSTONE pairs) pass through; a salted id landing on a
-        sentinel pair is nudged off it (flip bit 1 of lo)."""
+        sentinel pair is nudged off it (flip bit 1 of lo).
+
+        Static bucket columns map ids to their matrix row instead:
+        lo = offset + id mod buckets, hi = 0 (sentinels pass through).
+        """
+        st = self._static_map.get(column.table_name)
+        if st is not None:
+            off, nb = st
+            sent = (ids_hi == keylib.EMPTY_HI) & (
+                (ids_lo == keylib.EMPTY_LO) | (ids_lo == keylib.TOMB_LO))
+            slot = jnp.int32(off) + keylib.mod_of(ids_hi, ids_lo, nb)
+            return (jnp.where(sent, ids_hi, 0).astype(jnp.int32),
+                    jnp.where(sent, ids_lo, slot).astype(jnp.int32))
         salt = self._phys_of[column.table_name][1]
         if salt == 0:
             return ids_hi, ids_lo
@@ -592,13 +676,14 @@ class EmbeddingGroup:
         new_states = dict(states)
         lks: Dict[str, ev.LookupResult] = {}
         cols: Dict[str, ColumnLookup] = {}
+        budget_overflow: Dict[str, jax.Array] = {}
         # Group columns by table so shared tables look up once over the
         # concatenated id matrix.
         by_table: Dict[str, list] = {}
         for c in self.embedding:
             by_table.setdefault(self.physical_table_of(c), []).append(c)
 
-        def _table_lookup(tname, cfg, ids_hi, ids_lo):
+        def _table_lookup(tname, cfg, ids_hi, ids_lo, budget=None):
             """One physical table's lookup under its placement. Updates
             ``new_states[tname]``/``lks[tname]``; returns (routing,
             inverse, mask, adaptive_bits)."""
@@ -635,16 +720,18 @@ class EmbeddingGroup:
                 return r, r.inverse, r.mask, None
             st, bl = lkup.bag_lookup_train(
                 cfg, new_states[tname], ids_hi, ids_lo, global_step,
-                salt=self.salts[tname])
+                salt=self.salts[tname], unique_budget=budget)
             new_states[tname] = st
             lks[tname] = bl.lk
+            budget_overflow[tname] = bl.n_overflow
             return None, bl.inverse, bl.mask, None
 
         for tname, tcols in by_table.items():
             cfg = self.tables[tname]
             ids_hi, ids_lo, widths = self._packed_view(batch, tname, tcols)
-            routing, inverse, mask, adp = _table_lookup(tname, cfg,
-                                                        ids_hi, ids_lo)
+            budget = self._unique_budget(tcols, widths, ids_hi.shape)
+            routing, inverse, mask, adp = _table_lookup(
+                tname, cfg, ids_hi, ids_lo, budget=budget)
             off = 0
             for c, w in zip(tcols, widths):
                 cw = (jnp.asarray(batch[c.weight_name])
@@ -662,8 +749,8 @@ class EmbeddingGroup:
                 # results land under "<col>#hot" and are concatenated
                 # back in :meth:`combine`.
                 hcfg = self.tables[hname]
-                hrouting, hinv, hmask, _ = _table_lookup(hname, hcfg,
-                                                         ids_hi, ids_lo)
+                hrouting, hinv, hmask, _ = _table_lookup(
+                    hname, hcfg, ids_hi, ids_lo, budget=budget)
                 off = 0
                 for c, w in zip(tcols, widths):
                     cols[c.name + "#hot"] = ColumnLookup(
@@ -673,7 +760,8 @@ class EmbeddingGroup:
                         routing=hrouting,
                         weights=cols[c.name].weights)
                     off += w
-        return new_states, GroupLookup(lks=lks, columns=cols)
+        return new_states, GroupLookup(lks=lks, columns=cols,
+                                       budget_overflow=budget_overflow)
 
     def combine(self, gl: GroupLookup, rows: Dict[str, jax.Array],
                 params: Optional[Dict] = None):
@@ -785,11 +873,28 @@ class EmbeddingGroup:
                 out[tname] = ev.shrink(cfg, states[tname], global_step)
         return out
 
+    @staticmethod
+    def _unique_budget(tcols, widths, ids_shape) -> Optional[int]:
+        """Static bound on distinct ids one step can route into this
+        table: sum over member columns of min(num_buckets, B*L_col).
+        None (= exact U=n) unless every member declares ``num_buckets``
+        and the bound actually shrinks the unique arrays."""
+        B = ids_shape[0]
+        total = 0
+        for c, w in zip(tcols, widths):
+            if getattr(c, "num_buckets", None) is None:
+                return None
+            total += min(c.num_buckets, B * w)
+        n = B * (ids_shape[1] if len(ids_shape) > 1 else 1)
+        total = -(-total // 64) * 64  # align for layout
+        return total if total < n else None
+
     def overflow_total(self, gl: GroupLookup):
-        """Ids dropped this step by the sharded exchange's capacity
-        factor (0 when unsharded). Dropped ids read zeros and receive no
-        update — surfacing the count in train metrics is the
-        observability half of SURVEY's "skewed all-to-all" hard part.
+        """Ids dropped this step — by the sharded exchange's capacity
+        factor, or by a table's unique budget (0 in exact configs).
+        Dropped ids read zeros/defaults and receive no update —
+        surfacing the count in train metrics is the observability half
+        of SURVEY's "skewed all-to-all" hard part.
         """
         tot = jnp.int32(0)
         seen = set()
@@ -798,6 +903,8 @@ class EmbeddingGroup:
                     and cl.table_name not in seen):
                 seen.add(cl.table_name)
                 tot = tot + cl.routing.n_overflow
+        for v in gl.budget_overflow.values():
+            tot = tot + v
         return tot
 
     # -- adaptive embedding -------------------------------------------------

@@ -29,6 +29,7 @@ def criteo_columns(
     combiner: str = "mean",
     reference_shapes: bool = False,
     wide_in_deep: bool = False,
+    static_buckets: bool = False,
 ):
     """Criteo-Kaggle column set: I1..I13 numeric, C1..C26 categorical,
     each with a deep embedding and a wide (dim-1) embedding.
@@ -54,21 +55,30 @@ def criteo_columns(
     for i in range(1, NUM_CAT + 1):
         if reference_shapes:
             dim = criteo_data.WDL_EMBEDDING_DIMS[i - 1]
-            cap = criteo_data.capacity_for(
-                criteo_data.CRITEO_HASH_BUCKETS[i - 1], ceiling=capacity)
+            buckets = criteo_data.CRITEO_HASH_BUCKETS[i - 1]
+            cap = criteo_data.capacity_for(buckets, ceiling=capacity)
         else:
             dim, cap = embedding_dim, capacity
+            buckets = None
+        extra = dict(num_buckets=buckets) if buckets else {}
+        if static_buckets:
+            # The reference DEFAULT column path (no --ev):
+            # categorical_column_with_hash_bucket + embedding_column
+            # (modelzoo/WDL/train.py:348,400). Requires bucket counts.
+            if not buckets:
+                buckets = capacity
+            extra = dict(num_buckets=buckets, static_bucket=True)
         if wide_in_deep:
             cols.append(EmbeddingColumn(
                 name=f"C{i}", dim=dim + 1, capacity=cap,
-                combiner=combiner, ev_option=ev_option))
+                combiner=combiner, ev_option=ev_option, **extra))
             continue
         cols.append(EmbeddingColumn(
             name=f"C{i}", dim=dim, capacity=cap,
-            combiner=combiner, ev_option=ev_option))
+            combiner=combiner, ev_option=ev_option, **extra))
         cols.append(EmbeddingColumn(
             name=f"C{i}_wide", dim=1, capacity=cap, combiner="sum",
-            initializer="zeros", ev_option=ev_option))
+            initializer="zeros", ev_option=ev_option, **extra))
     return cols
 
 

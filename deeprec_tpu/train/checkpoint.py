@@ -73,7 +73,27 @@ def _row_aligned(slot_tree, capacity: int):
 
 def _export_table(cfg, state: ev.EVState, slot_tree, *,
                   min_version: Optional[int] = None) -> Dict[str, np.ndarray]:
-    """Snapshot live rows (all, or touched since ``min_version``)."""
+    """Snapshot live rows (all, or touched since ``min_version``).
+
+    Static bucket tables (no hash table, no version metadata) are
+    saved in FULL on every save, incremental included — they are
+    effectively dense params (matching the reference, whose
+    incremental saver also rewrites dense variables each delta).
+    """
+    if cfg.static_buckets:
+        N = cfg.capacity
+        out = {
+            "keys": np.arange(N, dtype=np.int64),
+            "values": np.asarray(state.values)[:N],
+            "freqs": np.zeros((N,), np.int32),
+            "versions": np.zeros((N,), np.int32),
+        }
+        rows, scalars = _row_aligned(slot_tree, cfg.capacity)
+        for name, arr in rows.items():
+            out[f"slot/{name}"] = np.asarray(arr)[:N]
+        for name, arr in scalars.items():
+            out[f"scalar/{name}"] = np.asarray(arr)
+        return out
     key_hi = np.asarray(state.table.key_hi)
     key_lo = np.asarray(state.table.key_lo)
     ids = keylib.join_ids(key_hi, key_lo)
@@ -151,6 +171,9 @@ class CheckpointManager:
             yield state, slots
 
     def _live_keys(self, ts: TrainState, tname: str) -> np.ndarray:
+        cfg = self.group.tables[tname]
+        if cfg.static_buckets:
+            return np.arange(cfg.capacity, dtype=np.int64)
         out = []
         for st, _ in self._table_shards(ts, tname):
             ids = keylib.join_ids(np.asarray(st.table.key_hi),
