@@ -174,6 +174,12 @@ class TableConfig:
     # Maximum probe distance for open addressing. Lookups past this
     # distance fall back to the overflow row (default value, no update).
     max_probes: int = 64
+    # Width of the fast first probe scan ([n, fast_probes] gather);
+    # ids without a match or EMPTY proof in the window rescan at full
+    # width over a small compacted buffer. The gather prices per
+    # element, so 4 costs half of 8 — right for tables provisioned at
+    # load factor < ~0.5 where chains are short.
+    fast_probes: int = 8
     # Dynamic-dimension EV (``docs/Dynamic-dimension-Embedding-Variable
     # .md``, ``get_dynamic_dimension_embedding_variable``): dim is split
     # into ``block_num`` equal blocks; a key uses

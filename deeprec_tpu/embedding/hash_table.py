@@ -145,9 +145,16 @@ FAST_PROBES = 8
 
 
 def _straggler_budget(n: int) -> int:
-    """Fixed size of the compacted wide-scan buffer: generous for the
-    displacement tail at sane load factors, tiny next to n."""
-    return int(min(n, max(1024, n // 8)))
+    """Fixed size of the compacted wide-scan buffer.
+
+    Small on purpose: the wide gather prices per element ([M, W, 2] at
+    ~3 ns/elem — tools/exp_primitives.py), and the drain loop ALWAYS
+    retires every pending id, so buffer size only trades iteration
+    count against per-iteration cost.  A typical steady-state batch has
+    0..a-few-k stragglers — n/64 drains that in 1-2 ~1 ms rounds, while
+    the old n/8 buffer paid ~8x that for the same handful.  Cold-start
+    batches (everything pending) just run more rounds, once."""
+    return int(min(n, max(1024, n // 64)))
 
 
 def _compact(mask, n: int, M: int):
@@ -155,7 +162,8 @@ def _compact(mask, n: int, M: int):
     return jnp.nonzero(mask, size=M, fill_value=n)[0].astype(jnp.int32)
 
 
-def find(table: HashTable, qhi, qlo, max_probes: int = 64):
+def find(table: HashTable, qhi, qlo, max_probes: int = 64,
+         fast_probes: int = FAST_PROBES):
     """Lookup-only. Returns slots [n] int32; ``capacity`` if absent.
 
     Padding entries may use the EMPTY sentinel id; they return
@@ -167,9 +175,9 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64):
     is_sentinel = qhi == keylib.EMPTY_HI
     found, found_slot, _, _, saw_empty = _scan(
         table.key_pair, qhi, qlo, buckets,
-        min(FAST_PROBES, max_probes))
+        min(fast_probes, max_probes))
     slots = jnp.where(found & ~is_sentinel, found_slot, capacity)
-    if max_probes <= FAST_PROBES:
+    if max_probes <= fast_probes:
         return slots
     # Stragglers (not found, no EMPTY proof in the fast window) rescan
     # at full width over a COMPACTED fixed-size buffer — [M, W] instead
@@ -212,7 +220,8 @@ def find_or_insert(
     qlo,
     insert_mask,
     max_probes: int = 64,
-    max_rounds: int = 32,
+    max_rounds: int = 128,
+    fast_probes: int = FAST_PROBES,
 ):
     """Find each id; insert those with ``insert_mask`` set when absent.
 
@@ -299,7 +308,7 @@ def find_or_insert(
     # state; the full-width while_loop below then runs ZERO iterations
     # (data-dependent trip count — the wide [n, max_probes] gather is
     # never executed).
-    fastw = min(FAST_PROBES, max_probes)
+    fastw = min(fast_probes, max_probes)
     state, saw_empty = round_fn(state, fastw, need_empty_proof=True)
     r, key_pair, slots, is_new, pending = state
     # Non-insert ids whose fast window proved absence are done; ids

@@ -145,8 +145,11 @@ def _drop_idx(slots, capacity):
 
 def _default_rows(cfg: cfglib.TableConfig, state: EVState, qhi, qlo):
     dvd = state.default_bank.shape[0]
-    sel = keylib.mod_of(qhi, qlo, dvd) if dvd > 1 else jnp.zeros(
-        qhi.shape, jnp.int32)
+    if dvd == 1:
+        # Single default row: broadcast, no per-id gather.
+        return jnp.broadcast_to(state.default_bank[0][None, :],
+                                (qhi.shape[0], state.default_bank.shape[1]))
+    sel = keylib.mod_of(qhi, qlo, dvd)
     return state.default_bank[sel]
 
 
@@ -192,7 +195,8 @@ def lookup_train(
         insert_mask = is_real
 
     table, slots, is_new = ht.find_or_insert(
-        state.table, qhi, qlo, insert_mask, max_probes=cfg.max_probes)
+        state.table, qhi, qlo, insert_mask, max_probes=cfg.max_probes,
+        fast_probes=cfg.fast_probes)
     widx = _drop_idx(slots, capacity)
 
     # Fresh rows (possibly reused tombstone slots): initializer values,
@@ -283,7 +287,8 @@ def lookup_train_occ(
     is_real = qhi != keylib.EMPTY_HI
 
     table, slots, is_new = ht.find_or_insert(
-        state.table, qhi, qlo, is_real, max_probes=cfg.max_probes)
+        state.table, qhi, qlo, is_real, max_probes=cfg.max_probes,
+        fast_probes=cfg.fast_probes)
 
     # Representatives: the first occurrence of each slot. Overflow ids
     # (slot == capacity) are each their own representative so they keep
@@ -297,31 +302,54 @@ def lookup_train_occ(
     rep_token = jnp.where(in_tab, first[slot_d], tokens)
     rep = is_real & (rep_token == tokens)
 
-    # Compact representatives to the static budget. Padding u_idx = n.
-    u_idx = jnp.nonzero(rep, size=U, fill_value=n)[0].astype(jnp.int32)
-    pad = u_idx >= n
-    safe_u = jnp.minimum(u_idx, n - 1)
-    # rank[t] = position of rep token t in the compacted list; U for
-    # everything else (dropped reps, non-reps, padding slot n).
-    rank = jnp.full((n + 1,), U, jnp.int32).at[u_idx].set(
-        jnp.where(pad, U, jnp.arange(U, dtype=jnp.int32)))
-    inverse = rank[jnp.minimum(jnp.where(is_real, rep_token, n), n)]
-    n_rep = jnp.sum(rep.astype(jnp.int32))
-    n_overflow = jnp.maximum(n_rep - jnp.int32(U), 0)
+    if budget is None:
+        # U = n: skip compaction entirely. Every occurrence doubles as
+        # a "unique" row; non-representatives carry a dropped slot
+        # (capacity -> excluded from every scatter and from `admitted`)
+        # and are never pointed at by `inverse`, so their row content
+        # is irrelevant. This removes the nonzero/rank machinery
+        # (~15 ms at headline sizes) at identical semantics.
+        inverse = jnp.where(
+            is_real, jnp.where(in_tab, rep_token, tokens), n)
+        pad_i32 = lambda a, fill: jnp.concatenate(  # noqa: E731
+            [a, jnp.asarray([fill], a.dtype)])
+        uhi = pad_i32(qhi, keylib.EMPTY_HI)
+        ulo = pad_i32(qlo, keylib.EMPTY_LO)
+        uslots = pad_i32(jnp.where(rep, slots, capacity), capacity)
+        u_new = jnp.concatenate(
+            [is_new, jnp.asarray([False], jnp.bool_)])
+        n_overflow = jnp.int32(0)
+    else:
+        # Compact representatives to the static budget U. pos[t] =
+        # rank of token t among representatives (cumsum), which gives
+        # both the compaction scatter and per-occurrence inverse
+        # without jnp.nonzero's machinery.
+        pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
+        in_budget = rep & (pos < U)
+        u_of = jnp.full((U + 1,), n, jnp.int32).at[
+            jnp.where(in_budget, pos, U)].set(tokens, mode="drop",
+                                              unique_indices=True)
+        u_idx = u_of[:U]
+        pad = u_idx >= n
+        safe_u = jnp.minimum(u_idx, n - 1)
+        prep = pos[jnp.minimum(rep_token, n - 1)]
+        inverse = jnp.where(is_real & (prep < U), prep, U)
+        n_rep = jnp.sum(rep.astype(jnp.int32))
+        n_overflow = jnp.maximum(n_rep - jnp.int32(U), 0)
 
-    # Unique-level arrays, one extra row for the overflow pseudo-unique.
-    uhi = jnp.concatenate(
-        [jnp.where(pad, keylib.EMPTY_HI, qhi[safe_u]),
-         jnp.asarray([keylib.EMPTY_HI], jnp.int32)])
-    ulo = jnp.concatenate(
-        [jnp.where(pad, keylib.EMPTY_LO, qlo[safe_u]),
-         jnp.asarray([keylib.EMPTY_LO], jnp.int32)])
-    uslots = jnp.concatenate(
-        [jnp.where(pad, capacity, slots[safe_u]),
-         jnp.asarray([capacity], jnp.int32)])
-    u_new = jnp.concatenate(
-        [jnp.where(pad, False, is_new[safe_u]),
-         jnp.asarray([False], jnp.bool_)])
+        # One stacked gather for the four u-level arrays (separate
+        # gathers price per index — tools/exp_primitives.py part2).
+        stacked = jnp.stack(
+            [qhi, qlo, slots, is_new.astype(jnp.int32)], axis=1)
+        stk = stacked[safe_u]  # [U, 4]
+        tail = jnp.asarray(
+            [[keylib.EMPTY_HI, keylib.EMPTY_LO, capacity, 0]], jnp.int32)
+        pad_row = jnp.asarray(
+            [keylib.EMPTY_HI, keylib.EMPTY_LO, capacity, 0], jnp.int32)
+        stk = jnp.concatenate(
+            [jnp.where(pad[:, None], pad_row[None, :], stk), tail])
+        uhi, ulo, uslots = stk[:, 0], stk[:, 1], stk[:, 2]
+        u_new = stk[:, 3].astype(jnp.bool_)
 
     # Bookkeeping. Freq reset happens at the OCCURRENCE level so ids
     # inserted while beyond the budget still start their count clean;
@@ -373,7 +401,10 @@ def lookup_train_occ(
     versions = state.versions.at[widx].set(
         jnp.full(uslots.shape, global_step, jnp.int32), mode="drop")
     f = cfg.ev_option.filter_option
-    freq_rows = freqs[usafe]
+    need_freqs = ((isinstance(f, cfglib.CounterFilter)
+                   and f.filter_freq > 0) or cfg.block_num > 1)
+    if need_freqs:
+        freq_rows = freqs[usafe]
     if isinstance(f, cfglib.CounterFilter) and f.filter_freq > 0:
         admitted = u_in & (freq_rows >= f.filter_freq)
     else:
@@ -384,7 +415,8 @@ def lookup_train_occ(
         values[usafe],
         _default_rows(cfg, state, uhi, ulo),
     )
-    rows = _dyn_dim_mask(cfg, rows, freq_rows)
+    if cfg.block_num > 1:
+        rows = _dyn_dim_mask(cfg, rows, freq_rows)
     new_state = EVState(
         table=table, values=values, freqs=freqs, versions=versions,
         default_bank=state.default_bank, bloom=state.bloom)
@@ -486,7 +518,8 @@ def lookup(cfg: cfglib.TableConfig, state: EVState, qhi, qlo) -> jax.Array:
     if cfg.static_buckets:
         return lookup_static(cfg, state, qhi, qlo)
     capacity = cfg.capacity
-    slots = ht.find(state.table, qhi, qlo, max_probes=cfg.max_probes)
+    slots = ht.find(state.table, qhi, qlo, max_probes=cfg.max_probes,
+                    fast_probes=cfg.fast_probes)
     in_table = slots < capacity
     f = cfg.ev_option.filter_option
     safe = jnp.minimum(slots, capacity)

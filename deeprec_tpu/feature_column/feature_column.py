@@ -115,6 +115,7 @@ class EmbeddingColumn:
         default_factory=cfglib.EmbeddingVariableOption)
     shared_name: Optional[str] = None
     max_probes: int = 64
+    fast_probes: int = 8  # see TableConfig.fast_probes
     # Dynamic-dimension EV (``get_dynamic_dimension_embedding_variable``
     # analog): dim splits into ``dyn_dim_blocks`` blocks unlocked by
     # frequency (``dyn_dim_thresholds``, len blocks-1).  With
@@ -172,7 +173,8 @@ class EmbeddingColumn:
             name=self.table_name, dim=self.dim, capacity=self.capacity,
             initializer=self.initializer, init_scale=scale,
             ev_option=self.ev_option, combiner=self.combiner,
-            max_probes=self.max_probes, block_num=self.dyn_dim_blocks,
+            max_probes=self.max_probes, fast_probes=self.fast_probes,
+            block_num=self.dyn_dim_blocks,
             dyn_dim_thresholds=self.dyn_dim_thresholds,
             adaptive_hot_threshold=self.adaptive_hot_threshold,
             adaptive_buckets=(self.adaptive_buckets

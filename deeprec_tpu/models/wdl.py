@@ -56,11 +56,17 @@ def criteo_columns(
         if reference_shapes:
             dim = criteo_data.WDL_EMBEDDING_DIMS[i - 1]
             buckets = criteo_data.CRITEO_HASH_BUCKETS[i - 1]
-            cap = criteo_data.capacity_for(buckets, ceiling=capacity)
+            # Small tables get extra headroom (cheap memory, load
+            # factor < 0.5) so the 4-wide fast probe window nearly
+            # always holds the key or an EMPTY absence proof.
+            cap = criteo_data.capacity_for(
+                buckets, ceiling=capacity,
+                headroom=2.2 if buckets <= (1 << 16) else 1.3)
         else:
             dim, cap = embedding_dim, capacity
             buckets = None
-        extra = dict(num_buckets=buckets) if buckets else {}
+        extra = (dict(num_buckets=buckets, fast_probes=4) if buckets
+                 else {})
         if static_buckets:
             # The reference DEFAULT column path (no --ev):
             # categorical_column_with_hash_bucket + embedding_column

@@ -187,5 +187,82 @@ def main():
     print(json.dumps(out, indent=1))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--part2" not in sys.argv:
     main()
+
+
+def main2():
+    """Round-3 follow-ups: occ-dedup machinery pieces + dense-tower
+    plumbing (concat/split vs pure matmul chain)."""
+    N = _arg("--n", 426_000)
+    U = 131072
+    B, H = 16384, (1024, 512, 256)
+    rng = np.random.default_rng(0)
+    res = {}
+
+    rep = jnp.asarray(rng.random(N) < 0.3)
+    toks = jnp.arange(N, dtype=jnp.int32)
+
+    res["nonzero_sizeU"] = timeit(
+        jax.jit(lambda m: jnp.nonzero(m, size=U, fill_value=N)[0]), rep)
+
+    def cumsum_compact(m):
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        idx = jnp.where(m & (pos < U), pos, U)
+        return jnp.full((U + 1,), N, jnp.int32).at[idx].set(
+            toks, mode="drop", unique_indices=True)[:U]
+
+    res["cumsum_compact"] = timeit(jax.jit(cumsum_compact), rep)
+
+    # 4 separate int32 gathers at U vs one stacked [n,4] gather.
+    a = jnp.asarray(rng.integers(0, 1 << 30, size=(N,)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, N, size=(U,)), jnp.int32)
+
+    res["four_gathers_U"] = timeit(
+        jax.jit(lambda a, i: (a[i], (a + 1)[i], (a ^ 3)[i], (a - 7)[i])),
+        a, idx)
+    stacked = jnp.stack([a, a + 1, a ^ 3, a - 7], axis=1)
+    res["one_stacked_gather_U"] = timeit(
+        jax.jit(lambda s, i: s[i]), stacked, idx)
+
+    # Dense tower: pure chain vs 26-way concat + grad-split plumbing.
+    import flax.linen as nn
+
+    class Chain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = x.astype(jnp.bfloat16)
+            for u in H:
+                x = nn.relu(nn.Dense(u, dtype=jnp.bfloat16,
+                                     param_dtype=jnp.float32)(x))
+            return nn.Dense(1, dtype=jnp.float32)(x)[:, 0]
+
+    dims = [65] * 18 + [129] * 8
+    pieces = [jnp.asarray(rng.normal(size=(B, d)), jnp.float32)
+              for d in dims]
+    big = jnp.concatenate(pieces, axis=1)
+    model = Chain()
+    params = model.init(jax.random.key(0), big)
+
+    def loss_big(p, x):
+        return jnp.sum(model.apply(p, x))
+
+    res["mlp_fwd_bwd_prefused"] = timeit(
+        jax.jit(lambda p, x: jax.grad(loss_big, argnums=(0, 1))(p, x)),
+        params, big)
+
+    def loss_pieces(p, ps):
+        x = jnp.concatenate(ps, axis=1)
+        return jnp.sum(model.apply(p, x))
+
+    res["mlp_fwd_bwd_26way_split"] = timeit(
+        jax.jit(lambda p, ps: jax.grad(loss_pieces, argnums=(0, 1))(
+            p, ps)), params, pieces)
+
+    print(json.dumps({"part2": {k: round(v * 1e3, 3)
+                                for k, v in res.items()},
+                      "device": jax.devices()[0].device_kind}, indent=1))
+
+
+if __name__ == "__main__" and "--part2" in sys.argv:
+    main2()

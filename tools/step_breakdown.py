@@ -78,8 +78,14 @@ def main():
 
     batch = _arg("--batch", 16384)
     steps = _arg("--steps", 20)
+    # Per-column capacity ceiling (log2). The full reference-shaped
+    # model is ~4.6 GB of state; phase-by-phase measurement keeps extra
+    # copies alive, so a smaller ceiling (e.g. --cap 17) trades table
+    # size (NOT id counts — those stay at production scale) for
+    # headroom on the 16 GB chip.
+    cap = 1 << _arg("--cap", 20)
 
-    cols = wdl.criteo_columns(embedding_dim=16, capacity=1 << 20,
+    cols = wdl.criteo_columns(embedding_dim=16, capacity=cap,
                               reference_shapes=True, wide_in_deep=True)
     group = EmbeddingGroup(cols, coalesce=True)
     model = wdl.WDL(hidden=(1024, 512, 256), dtype=jnp.bfloat16)
@@ -101,8 +107,11 @@ def main():
     states = group.create_state()
     params = _init(states, b, jax.random.key(0))
     ts = trainlib.create_train_state(group, params, tx, opt)
+    # Donate the warmup steps: reference-shaped state is multi-GB and a
+    # non-donated step keeps input+output alive, which RESOURCE_EXHAUSTs
+    # the 16 GB chip before the phases even run.
     step = trainlib.make_train_step(group, afn, loss_fn, opt, tx,
-                                    donate=False)
+                                    donate=True)
 
     # Warm the table so probes/gathers hit a populated table (the
     # steady-state regime), then keep that state for every phase.
@@ -115,40 +124,53 @@ def main():
     # the widest table for the representative per-phase rows.
     tnames = list(group.tables)
     n_ids = 0
-    phases = {k: 0.0 for k in ("dedup", "probe_find", "gather")}
+    phases = {k: 0.0 for k in ("lookup_total", "probe_find", "gather")}
     per_table = {}
-    dd_main = slots_main = None
-    dedup_j = jax.jit(lkup.dedup)
+    n_unique_main = 0
     for tname in tnames:
         cfg = group.tables[tname]
+        tcols = [c for c in group.embedding
+                 if group.physical_table_of(c) == tname]
         sid = b[group.PACKED_PREFIX + tname]
         qhi, qlo = sid.hi.reshape(-1), sid.lo.reshape(-1)
         n_t = int(qhi.shape[0])
         n_ids += n_t
         state0 = ts.ev[tname]
+        budget = group._unique_budget(tcols, [1] * len(tcols),
+                                      sid.hi.shape)
 
-        t_dedup = timeit(dedup_j, qhi, qlo, n=steps)
-        dd = dedup_j(qhi, qlo)
+        # Production lookup: probe + claim-dedup + compaction + rows +
+        # bookkeeping in one program (variable.lookup_train_occ).
+        occ_j = jax.jit(lambda st, hi, lo, _c=cfg, _b=budget:
+                        ev.lookup_train_occ(_c, st, hi, lo, 1,
+                                            budget=_b)[1].lk.rows)
+        t_occ = timeit(occ_j, state0, qhi, qlo, n=steps)
 
-        probe_j = jax.jit(lambda st, hi, lo: ht.find(st.table, hi, lo))
-        t_probe = timeit(probe_j, state0, dd.uhi, dd.ulo, n=steps)
-        slots = probe_j(state0, dd.uhi, dd.ulo)
+        # Probe share of it (find-only proxy at occurrence count).
+        probe_j = jax.jit(lambda st, hi, lo, _c=cfg: ht.find(
+            st.table, hi, lo, max_probes=_c.max_probes))
+        t_probe = timeit(probe_j, state0, qhi, qlo, n=steps)
+        slots = probe_j(state0, qhi, qlo)
+        n_u = int(np.asarray(jax.device_get(jnp.sum(
+            (jnp.unique(jnp.minimum(slots, cfg.capacity), size=n_t,
+                        fill_value=cfg.capacity) < cfg.capacity)
+            .astype(jnp.int32)))))
 
+        U = (budget or n_t) + 1
         gather_j = jax.jit(lambda vals, sl: vals[jnp.minimum(
             sl, vals.shape[0] - 1)])
-        t_gather = timeit(gather_j, state0.values, slots, n=steps)
+        t_gather = timeit(gather_j, state0.values, slots[:U], n=steps)
 
-        per_table[tname] = {"ids": n_t, "dim": int(state0.values.shape[1]),
-                            "dedup_ms": round(t_dedup * 1e3, 3),
+        per_table[tname] = {"ids": n_t, "unique": n_u,
+                            "unique_budget": budget,
+                            "dim": int(state0.values.shape[1]),
+                            "lookup_total_ms": round(t_occ * 1e3, 3),
                             "probe_ms": round(t_probe * 1e3, 3),
                             "gather_ms": round(t_gather * 1e3, 3)}
-        phases["dedup"] += t_dedup
+        phases["lookup_total"] += t_occ
         phases["probe_find"] += t_probe
         phases["gather"] += t_gather
-        if dd_main is None or n_t >= per_table[tnames[0]]["ids"]:
-            tmain, dd_main, slots_main = tname, dd, slots
-    tname, cfg = tmain, group.tables[tmain]
-    dd = dd_main
+        n_unique_main = max(n_unique_main, n_u)
 
     # One lookup pass (not timed here) to materialize the per-table
     # LookupResults (arrays only — GroupLookup itself carries column
@@ -161,6 +183,24 @@ def main():
         return gl_.lks, group.combine(gl_, rows_)
 
     lks, embs = _lk(ts.ev, b)
+
+    # Combine fwd+bwd: per-occurrence gather of unique rows + the
+    # scatter-add transpose (runs inside the differentiated loss in the
+    # real step; dense_fwd_bwd below starts from fixed embeddings so
+    # this indexed cost would otherwise be invisible).
+    _, gl0 = group.lookup_train(ts.ev, b, 0)  # eager: gl0 carries
+    #                                           non-array column metadata
+
+    @jax.jit
+    def combine_fwd_bwd(rows_):
+        def f(r):
+            e = group.combine(gl0, r)
+            return sum(jnp.sum(v[0] if isinstance(v, tuple) else v)
+                       for v in e.values())
+        return jax.grad(f)(rows_)
+
+    phases["combine_fwd_bwd"] = timeit(
+        combine_fwd_bwd, {t: lk.rows for t, lk in lks.items()}, n=steps)
 
     # Dense towers: forward+backward on fixed embeddings (the
     # matmul-bound part of the step; grads flow to params AND
@@ -189,8 +229,10 @@ def main():
         per_table[t]["apply_ms"] = round(t_apply * 1e3, 3)
         phases["sparse_apply"] += t_apply
 
+    step_nd = trainlib.make_train_step(group, afn, loss_fn, opt, tx,
+                                       donate=False)
     phases["full_step"] = timeit(
-        lambda t_, bb: step(t_, bb)[1]["loss"], ts, b, n=steps)
+        lambda t_, bb: step_nd(t_, bb)[1]["loss"], ts, b, n=steps)
 
     # Useful-bytes lower bounds for the indexed phases (what the phase
     # MUST move from/to HBM, ignoring probe overshoot and sort passes)
@@ -199,19 +241,16 @@ def main():
     useful = {}
     for t in tnames:
         st = ts.ev[t]
-        # phases run at the padded size: dedup outputs [n] unique slots
-        # (EMPTY-padded), so probe/gather/apply all touch n entries.
-        n_u = per_table[t]["ids"]
+        n_occ = per_table[t]["ids"]
+        n_u = (per_table[t]["unique_budget"] or n_occ) + 1
         dim = per_table[t]["dim"]
         vb = st.values.dtype.itemsize
         useful.setdefault("gather", 0)
         useful["gather"] += n_u * dim * vb
         useful.setdefault("probe_find", 0)
-        useful["probe_find"] += n_u * 8          # one key-pair row/id
+        useful["probe_find"] += n_occ * 8        # one key-pair row/id
         useful.setdefault("sparse_apply", 0)
         useful["sparse_apply"] += 4 * n_u * dim * 4  # val+acc r/w fp32
-        useful.setdefault("dedup", 0)
-        useful["dedup"] += 4 * n_u * 8           # pairs through a sort
     gbps = {k: round(useful[k] / phases[k] / 1e9, 2)
             for k in useful if phases.get(k)}
 
@@ -219,8 +258,7 @@ def main():
         "metric": "wdl_step_breakdown",
         "batch": batch,
         "ids_per_step": n_ids,
-        "unique_ids_main_table": int(np.asarray(jax.device_get(
-            (dd.uhi != keylib.EMPTY_HI).sum()))),
+        "unique_ids_main_table": n_unique_main,
         "backend": jax.default_backend(),
         "per_table": per_table,
         "phases_ms": {k: round(v * 1e3, 3) for k, v in phases.items()},
