@@ -36,7 +36,7 @@ WARMUP_STEPS = 30
 MEASURE_STEPS = 30
 
 
-def _build_wdl(reference_shapes: bool):
+def _build_wdl(reference_shapes: bool, static_buckets: bool = False):
     import jax.numpy as jnp
     import optax
 
@@ -48,9 +48,17 @@ def _build_wdl(reference_shapes: bool):
     from deeprec_tpu.train import loop as trainlib
     from deeprec_tpu.train import losses
 
+    # Reference-default EV mode: --ev with no filter/eviction does NOT
+    # record freq/version metadata (kv_variable_ops.py record_freq
+    # defaults False — the LightHeader layout, value_ptr.h:78); the
+    # matching mode here elides the per-step metadata scatters.
+    from deeprec_tpu import config as cfglib
+    evo = cfglib.EmbeddingVariableOption(record_freq=False,
+                                         record_version=False)
     cols = wdl.criteo_columns(embedding_dim=16, capacity=1 << 20,
                               reference_shapes=reference_shapes,
-                              wide_in_deep=True)
+                              wide_in_deep=True, ev_option=evo,
+                              static_buckets=static_buckets)
     group = EmbeddingGroup(cols, coalesce=True)
     # BF16 compute mode — the reference's headline WDL row is FP32+BF16
     # (fp32 params, bf16 activations; docs/BFloat16.md).
@@ -85,10 +93,12 @@ def _roofline_fields(compiled, dt_per_step):
     return roofline({}, compiled, dt_per_step)
 
 
-def bench_device(reference_shapes: bool) -> dict:
+def bench_device(reference_shapes: bool,
+                 static_buckets: bool = False) -> dict:
     """Device+dispatch throughput on pre-packed batches (the reference
     harness likewise reads from a pre-staged local dataset)."""
-    group, data, ts, step, b0 = _build_wdl(reference_shapes)
+    group, data, ts, step, b0 = _build_wdl(reference_shapes,
+                                           static_buckets)
     compiled = step.lower(ts, b0).compile()
     batches = [group.pack_batch(data.next_batch()) for _ in range(8)]
     for i in range(WARMUP_STEPS):
@@ -106,15 +116,27 @@ def bench_device(reference_shapes: bool) -> dict:
     dt = time.perf_counter() - t0
     assert loss == loss  # NaN guard: the measured program must be sane
     sps = BATCH * MEASURE_STEPS / dt
+    if static_buckets:
+        metric = "wdl_static_bucket_samples_per_sec"
+        model = ("reference DEFAULT config analog: static hash-bucket "
+                 "columns (categorical_column_with_hash_bucket, the "
+                 "path the 22,789-samples/s baseline was measured on), "
+                 "dims 64/128, buckets modelzoo/WDL/train.py:40-66")
+    elif reference_shapes:
+        metric = "wdl_criteo_samples_per_sec"
+        model = ("reference shapes: dims 64/128, buckets "
+                 "modelzoo/WDL/train.py:40-96, dynamic EV tables "
+                 "(freq/version tracking, admission-capable) — the "
+                 "HARDER config; see the static row for the "
+                 "reference-default analog")
+    else:
+        metric, model = "wdl_dim16_samples_per_sec", "uniform dim 16"
     out = {
-        "metric": ("wdl_criteo_samples_per_sec" if reference_shapes
-                   else "wdl_dim16_samples_per_sec"),
+        "metric": metric,
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_WDL, 3),
-        "model": ("reference shapes: dims 64/128, buckets "
-                  "modelzoo/WDL/train.py:40-96" if reference_shapes
-                  else "uniform dim 16"),
+        "model": model,
         "batch": BATCH,
     }
     out.update(_roofline_fields(compiled, dt / MEASURE_STEPS))
@@ -200,6 +222,8 @@ def bench_e2e(n_rows: int = 600_000) -> dict:
 
 ROWS = {
     "headline": lambda: bench_device(reference_shapes=True),
+    "static": lambda: bench_device(reference_shapes=True,
+                                   static_buckets=True),
     "dim16": lambda: bench_device(reference_shapes=False),
     "e2e": bench_e2e,
 }

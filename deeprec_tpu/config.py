@@ -139,15 +139,18 @@ class EmbeddingVariableOption:
     # ``default_value_dim`` attr, ``embedding_var.h:104-117``).
     default_value_dim: int = 1
     # Record frequency / version metadata even when no filter/evict
-    # policy needs them (reference: record_freq / record_version).
-    # Always-on here BY DESIGN: the reference's flags gate per-key
-    # ValuePtr header bytes (value_ptr.h LightHeader vs NormalHeader);
-    # in this layout freqs/versions are two flat int32 arrays that
-    # double as the LFU/LRU rank arrays (multi-tier), the dyn-dim
-    # unlock counters, and the incremental-checkpoint touched-row
-    # recorder — dropping them saves nothing and breaks those
-    # subsystems, so the flags are accepted for API parity but a
-    # False value does not elide the arrays.
+    # policy needs them (reference: record_freq / record_version,
+    # default False there — the LightHeader mode, value_ptr.h:78).
+    # Here the flags elide the per-step metadata UPDATES (a scatter
+    # prices per index on TPU — tools/exp_primitives.py), not the
+    # arrays: a subsystem that needs the metadata overrides the flag —
+    # counter filters / dyn-dim / multi-tier LFU force freq tracking,
+    # eviction / multi-tier LRU / adaptive force version tracking —
+    # so False is only honored when nothing would break.  With
+    # record_version=False a table's incremental checkpoint falls back
+    # to a full dump (no touched-row recorder), like the reference's
+    # incr saver on variables without a recorder.  Defaults True: the
+    # richer metadata is what several subsystems key off.
     record_freq: bool = True
     record_version: bool = True
 

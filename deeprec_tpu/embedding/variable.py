@@ -143,6 +143,27 @@ def _drop_idx(slots, capacity):
     return jnp.where(slots < capacity, slots, capacity + 1)
 
 
+def _tracking(cfg: cfglib.TableConfig) -> tuple[bool, bool]:
+    """(track_freq, track_version): whether per-step metadata updates
+    run.  ``record_freq/record_version=False`` elide the scatters
+    (reference LightHeader mode) unless a subsystem needs them —
+    counter filters / dyn-dim / adaptive / multi-tier LFU need freqs;
+    eviction / multi-tier (LRU + spill journal) need versions."""
+    ev = cfg.ev_option
+    f = ev.filter_option
+    tiered = ev.storage_option.storage_type != cfglib.StorageType.HBM
+    track_freq = (ev.record_freq
+                  or (isinstance(f, cfglib.CounterFilter)
+                      and f.filter_freq > 0)
+                  or cfg.block_num > 1
+                  or cfg.adaptive_hot_threshold is not None
+                  or tiered)
+    track_version = (ev.record_version
+                     or ev.evict_option is not None
+                     or tiered)
+    return track_freq, track_version
+
+
 def _default_rows(cfg: cfglib.TableConfig, state: EVState, qhi, qlo):
     dvd = state.default_bank.shape[0]
     if dvd == 1:
@@ -351,55 +372,82 @@ def lookup_train_occ(
         uhi, ulo, uslots = stk[:, 0], stk[:, 1], stk[:, 2]
         u_new = stk[:, 3].astype(jnp.bool_)
 
-    # Bookkeeping. Freq reset happens at the OCCURRENCE level so ids
-    # inserted while beyond the budget still start their count clean;
-    # it only executes when this batch actually inserted something
-    # (steady state skips it — scatters price per index,
-    # tools/exp_primitives.py).
-    def freq_reset_body(st):
-        freqs, _ = st
-        new_occ = jnp.where(is_new, slots, capacity + 1 + tokens)
-        freqs = freqs.at[new_occ].set(0, mode="drop")
-        return freqs, jnp.bool_(False) | (qhi[0] != qhi[0])
+    track_freq, track_version = _tracking(cfg)
+    freqs = state.freqs
+    if track_freq:
+        # Freq reset happens at the OCCURRENCE level so ids inserted
+        # while beyond the budget still start their count clean; it
+        # only executes when this batch actually inserted something
+        # (steady state skips it — scatters price per index,
+        # tools/exp_primitives.py).
+        def freq_reset_body(st):
+            freqs, _ = st
+            new_occ = jnp.where(is_new, slots, capacity + 1 + tokens)
+            freqs = freqs.at[new_occ].set(0, mode="drop")
+            return freqs, jnp.bool_(False) | (qhi[0] != qhi[0])
 
-    freqs, _ = jax.lax.while_loop(
-        lambda st: st[1] & jnp.any(is_new), freq_reset_body,
-        (state.freqs, jnp.bool_(True) | (qhi[0] != qhi[0])))
+        freqs, _ = jax.lax.while_loop(
+            lambda st: st[1] & jnp.any(is_new), freq_reset_body,
+            (freqs, jnp.bool_(True) | (qhi[0] != qhi[0])))
 
-    # Per-occurrence frequency add (replaces dedup counts); distinct
-    # OOB indices for dropped entries keep the sentinel row clean.
-    occ_idx = jnp.where(is_real & in_tab, slots, capacity + 1 + tokens)
-    freqs = freqs.at[occ_idx].add(1, mode="drop")
+        # Per-occurrence frequency add (replaces dedup counts);
+        # distinct OOB indices keep the sentinel row clean.
+        occ_idx = jnp.where(is_real & in_tab, slots,
+                            capacity + 1 + tokens)
+        freqs = freqs.at[occ_idx].add(1, mode="drop")
 
     usafe = jnp.minimum(uslots, capacity)
     widx = _drop_idx(uslots, capacity)
     u_in = uslots < capacity
-    raw_prev = state.versions[usafe]
-    # Row init triggers at the FIRST TRAINED touch (version < 0), not at
-    # insertion: an id inserted while beyond the budget reaches its
-    # first u-level appearance with is_new already False, and a reused
-    # tombstone slot holds stale rows — version < 0 covers both (shrink/
-    # delete reset versions to -1; checkpoint import restores real
-    # ones).  Exposed as ``is_new`` so optimizers reset slot rows too.
-    u_new = u_in & ((raw_prev < 0) | u_new)
+    if track_version:
+        raw_prev = state.versions[usafe]
+        # Row init triggers at the FIRST TRAINED touch (version < 0),
+        # not at insertion: an id inserted while beyond the budget
+        # reaches its first u-level appearance with is_new already
+        # False, and a reused tombstone slot holds stale rows —
+        # version < 0 covers both (shrink/delete reset versions to -1;
+        # checkpoint import restores real ones).  Exposed as ``is_new``
+        # so optimizers reset slot rows too.
+        u_new = u_in & ((raw_prev < 0) | u_new)
 
-    def fresh_body(st):
-        values, _ = st
-        new_idx = jnp.where(u_new, uslots, capacity + 1)
-        fresh_rows = srand.init_rows(
-            cfg.initializer, uhi, ulo, cfg.dim, cfg.init_scale,
-            salt=salt).astype(values.dtype)
-        values = values.at[new_idx].set(fresh_rows, mode="drop")
-        return values, jnp.bool_(False) | (uhi[0] != uhi[0])
+        def fresh_body(st):
+            values, _ = st
+            new_idx = jnp.where(u_new, uslots, capacity + 1)
+            fresh_rows = srand.init_rows(
+                cfg.initializer, uhi, ulo, cfg.dim, cfg.init_scale,
+                salt=salt).astype(values.dtype)
+            values = values.at[new_idx].set(fresh_rows, mode="drop")
+            return values, jnp.bool_(False) | (uhi[0] != uhi[0])
 
-    values, _ = jax.lax.while_loop(
-        lambda st: st[1] & jnp.any(u_new), fresh_body,
-        (state.values, jnp.bool_(True) | (uhi[0] != uhi[0])))
+        values, _ = jax.lax.while_loop(
+            lambda st: st[1] & jnp.any(u_new), fresh_body,
+            (state.values, jnp.bool_(True) | (uhi[0] != uhi[0])))
 
-    prev_versions = jnp.where(
-        u_new, jnp.int32(global_step), raw_prev)
-    versions = state.versions.at[widx].set(
-        jnp.full(uslots.shape, global_step, jnp.int32), mode="drop")
+        prev_versions = jnp.where(
+            u_new, jnp.int32(global_step), raw_prev)
+        versions = state.versions.at[widx].set(
+            jnp.full(uslots.shape, global_step, jnp.int32), mode="drop")
+    else:
+        # No version metadata (LightHeader mode): rows initialize at
+        # INSERT time instead of first trained touch — valid because
+        # without eviction slots are never tombstone-reused, and an
+        # untouched optimizer slot row already holds its init value.
+        # Occurrence-level so beyond-budget inserts initialize too.
+        def fresh_occ_body(st):
+            values, _ = st
+            new_occ = jnp.where(is_new, slots, capacity + 1 + tokens)
+            fresh_rows = srand.init_rows(
+                cfg.initializer, qhi, qlo, cfg.dim, cfg.init_scale,
+                salt=salt).astype(values.dtype)
+            values = values.at[new_occ].set(fresh_rows, mode="drop")
+            return values, jnp.bool_(False) | (qhi[0] != qhi[0])
+
+        values, _ = jax.lax.while_loop(
+            lambda st: st[1] & jnp.any(is_new), fresh_occ_body,
+            (state.values, jnp.bool_(True) | (qhi[0] != qhi[0])))
+        u_new = u_in & u_new
+        prev_versions = jnp.full(uslots.shape, global_step, jnp.int32)
+        versions = state.versions
     f = cfg.ev_option.filter_option
     need_freqs = ((isinstance(f, cfglib.CounterFilter)
                    and f.filter_freq > 0) or cfg.block_num > 1)

@@ -99,8 +99,13 @@ def _export_table(cfg, state: ev.EVState, slot_tree, *,
     ids = keylib.join_ids(key_hi, key_lo)
     live = ~np.isin(ids, (keylib.EMPTY_ID, keylib.TOMB_ID))
     if min_version is not None:
-        vers = np.asarray(state.versions)[:-1]
-        live &= vers >= min_version
+        from deeprec_tpu.embedding.variable import _tracking
+        if _tracking(cfg)[1]:
+            vers = np.asarray(state.versions)[:-1]
+            live &= vers >= min_version
+        # else: no touched-row recorder (record_version=False) — the
+        # "delta" is a full dump of this table, like the reference's
+        # incremental saver on variables without a recorder.
     idx = np.nonzero(live)[0]
     out = {
         "keys": ids[idx],

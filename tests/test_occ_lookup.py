@@ -172,3 +172,48 @@ def test_occ_rejects_cbf():
     lo = jnp.arange(4, dtype=jnp.int32)
     with pytest.raises(ValueError):
         ev.lookup_train_occ(cfg, ev.create(cfg), hi, lo, 0)
+
+
+def test_lightheader_mode_matches_tracked_values():
+    """record_freq/record_version=False (the reference's EV default —
+    LightHeader layout): per-step metadata scatters are elided, values
+    train identically, freqs/versions stay untouched."""
+    rng = np.random.default_rng(3)
+    ids_list = [_ids(rng, 64, vocab=40) for _ in range(4)]
+    light = _cfg()
+    light = light.__class__(**{
+        **{f.name: getattr(light, f.name)
+           for f in __import__("dataclasses").fields(light)},
+        "ev_option": cfglib.EmbeddingVariableOption(
+            record_freq=False, record_version=False)})
+    tracked = _cfg()
+
+    s_l, rows_l, _ = _run_occ(light, ids_list)
+    s_t, rows_t, _ = _run_occ(tracked, ids_list)
+    # Values per key identical; metadata untouched in light mode.
+    kl = {int(k): v for k, v in zip(
+        np.asarray(ev.export_arrays(light, s_l)["keys"]),
+        np.asarray(ev.export_arrays(light, s_l)["values"]))}
+    kt = {int(k): v for k, v in zip(
+        np.asarray(ev.export_arrays(tracked, s_t)["keys"]),
+        np.asarray(ev.export_arrays(tracked, s_t)["values"]))}
+    assert set(kl) == set(kt)
+    for k in kl:
+        np.testing.assert_allclose(kl[k], kt[k], rtol=1e-6)
+    assert int(np.asarray(s_l.freqs).sum()) == 0
+    assert (np.asarray(s_l.versions) < 0).all()
+    for a, b in zip(rows_l, rows_t):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_lightheader_forced_on_when_subsystem_needs_it():
+    evo = cfglib.EmbeddingVariableOption(
+        record_freq=False, record_version=False,
+        filter_option=cfglib.CounterFilter(filter_freq=2),
+        evict_option=cfglib.GlobalStepEvict(steps_to_live=5))
+    cfg = _cfg()
+    cfg = cfg.__class__(**{
+        **{f.name: getattr(cfg, f.name)
+           for f in __import__("dataclasses").fields(cfg)},
+        "ev_option": evo})
+    assert ev._tracking(cfg) == (True, True)

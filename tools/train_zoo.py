@@ -52,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="run on the host XLA backend")
     # EV options (reference --ev & friends)
+    p.add_argument("--static_bucket", action="store_true",
+                   help="reference DEFAULT column path (no --ev): "
+                        "static mod-addressed hash-bucket matrices")
     p.add_argument("--ev", action="store_true",
                    help="enable EmbeddingVariable options below")
     p.add_argument("--filter_freq", type=int, default=0)
@@ -119,6 +122,18 @@ def main(argv=None):
     is_seq = args.model in ("din", "dien", "bst", "dssm")
 
     cols = entry.columns(**COLUMN_KWARGS[args.model])
+    if args.static_bucket:
+        # The reference's DEFAULT (no --ev) column path:
+        # categorical_column_with_hash_bucket + embedding_column
+        # (modelzoo/WDL/train.py:348,400).
+        if args.ev or args.adaptive_emb:
+            raise SystemExit("--static_bucket excludes --ev/--adaptive_emb")
+        cols = [dataclasses.replace(
+                    c, static_bucket=True,
+                    num_buckets=(c.num_buckets or c.capacity),
+                    dyn_dim_blocks=1, dyn_dim_thresholds=(),
+                    dyn_dim_hot_capacity=None)
+                if isinstance(c, EmbeddingColumn) else c for c in cols]
     if args.ev:
         evo = cfglib.EmbeddingVariableOption(
             filter_option=(
