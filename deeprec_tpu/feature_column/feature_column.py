@@ -561,8 +561,23 @@ class EmbeddingGroup:
         if getattr(self, "_pack_widths", None) is None:
             self._pack_widths = widths
         emb_names = {c.name for c in self.embedding}
+        num_names = {c.name for c in self.numeric}
+        if compact and self.numeric and num_names <= set(batch):
+            # One numeric plane instead of a leaf per column: on slow
+            # host links every H2D transfer pays fixed latency, and a
+            # Criteo-like model ships 13 tiny numeric arrays per step.
+            # ``numeric_features`` reads the plane back.
+            import ml_dtypes
+            parts = []
+            for c in self.numeric:
+                a = np.asarray(batch[c.name], np.float32)
+                parts.append(a[:, None] if a.ndim == 1 else a)
+            packed[self.NUMERIC_PLANE] = jnp.asarray(
+                np.concatenate(parts, axis=1).astype(ml_dtypes.bfloat16))
+        else:
+            num_names = set()
         for k, v in batch.items():
-            if k not in emb_names:
+            if k not in emb_names and k not in num_names:
                 if compact:
                     a = np.asarray(v)
                     if a.dtype in (np.float64, np.float32):
@@ -970,8 +985,12 @@ class EmbeddingGroup:
                 cl.adp.newly_hot[:, None], seed, lk.rows))
         return states, gl._replace(lks=new_lks)
 
+    NUMERIC_PLANE = "__numeric__"
+
     def numeric_features(self, batch):
         """Stack numeric columns -> [B, sum(shapes)] float32."""
+        if self.NUMERIC_PLANE in batch:
+            return jnp.asarray(batch[self.NUMERIC_PLANE], jnp.float32)
         parts = []
         for c in self.numeric:
             x = batch[c.name].astype(jnp.float32)
