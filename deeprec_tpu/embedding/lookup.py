@@ -82,6 +82,33 @@ def combine_bags(rows, inverse, mask, combiner: str, weights=None):
                            else 1.0)[:, None]
 
 
+def combine_from_occ(per_occ, mask, combiner: str, weights=None):
+    """Reduce PRE-GATHERED, mask-multiplied per-occurrence rows
+    ([B, L, dim]) into per-bag embeddings — the tail of
+    :func:`combine_bags` for callers that fused the row gather across
+    columns (one [B, sum L] gather per table instead of one per column;
+    indexed ops price per op + per index, so 26 small gathers and
+    their 26 backward scatter-adds cost far more than one fused pair).
+    """
+    m = mask.astype(per_occ.dtype)
+    if weights is not None:
+        wts = weights.astype(per_occ.dtype) * m
+        per_occ = per_occ * weights.astype(per_occ.dtype)[..., None]
+    else:
+        wts = m
+    s = jnp.sum(per_occ, axis=1)
+    if combiner == "sum":
+        return s
+    if combiner == "mean":
+        denom = jnp.sum(wts, axis=1)
+    elif combiner == "sqrtn":
+        denom = jnp.sqrt(jnp.sum(wts * wts, axis=1))
+    else:
+        raise ValueError(f"unknown combiner {combiner!r}")
+    return s / jnp.maximum(denom, 1e-9 if weights is not None
+                           else 1.0)[:, None]
+
+
 class BagLookup(NamedTuple):
     """Everything the train step needs from one table's lookup."""
 

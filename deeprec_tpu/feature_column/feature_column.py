@@ -814,22 +814,38 @@ class EmbeddingGroup:
                 local_rows[tname] = rows[tname][r.union_of_local]
             else:
                 local_rows[tname] = rows[tname]
+        # One fused per-occurrence gather per TABLE (indexed ops price
+        # per op + per index — 26 per-column gathers and their 26
+        # backward scatter-adds would cost far more than one pair).
+        by_tbl: Dict[str, list] = {}
         for cname, cl in gl.columns.items():
-            r = local_rows[cl.table_name]
-            if cl.adp is not None:
+            by_tbl.setdefault(cl.table_name, []).append((cname, cl))
+        for tname, items in by_tbl.items():
+            r = local_rows[tname]
+            adp = items[0][1].adp
+            if adp is not None:
                 # Adaptive: hot uniques use their EV row, cold uniques
                 # the static hash bucket; jnp.where routes each id's
                 # cotangent to exactly one side.
-                static = self._adaptive_static(params, cl.table_name)
-                r = jnp.where(cl.adp.hot[:, None], r,
-                              static[cl.adp.bucket].astype(r.dtype))
-            if isinstance(cl.column, SequenceEmbeddingColumn):
-                seq = r[cl.inverse] * cl.mask[..., None].astype(r.dtype)
-                out[cname] = (seq, cl.mask)
-            else:
-                out[cname] = lkup.combine_bags(
-                    r, cl.inverse, cl.mask, cl.column.combiner,
-                    weights=cl.weights)
+                static = self._adaptive_static(params, tname)
+                r = jnp.where(adp.hot[:, None], r,
+                              static[adp.bucket].astype(r.dtype))
+            inv = jnp.concatenate([cl.inverse for _, cl in items],
+                                  axis=1)
+            msk = jnp.concatenate([cl.mask for _, cl in items], axis=1)
+            occ = r[inv] * msk[..., None].astype(r.dtype)
+            off = 0
+            for cname, cl in items:
+                w = cl.inverse.shape[1]
+                seg = occ[:, off:off + w]
+                m_c = msk[:, off:off + w]
+                off += w
+                if isinstance(cl.column, SequenceEmbeddingColumn):
+                    out[cname] = (seg, cl.mask)
+                else:
+                    out[cname] = lkup.combine_from_occ(
+                        seg, m_c, cl.column.combiner,
+                        weights=cl.weights)
         # Dyn-dim split columns: concatenate the hot-block sibling's
         # output back onto the base block (cold keys read zeros there).
         for cname in [k for k in out if k.endswith("#hot")]:
