@@ -347,9 +347,12 @@ def lookup_train_occ(
         # without jnp.nonzero's machinery.
         pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
         in_budget = rep & (pos < U)
+        # Non-in-budget tokens route OUT of bounds (U + 1) so that
+        # mode='drop' really drops them — many tokens sharing an
+        # in-bounds index would violate unique_indices.
         u_of = jnp.full((U + 1,), n, jnp.int32).at[
-            jnp.where(in_budget, pos, U)].set(tokens, mode="drop",
-                                              unique_indices=True)
+            jnp.where(in_budget, pos, U + 1)].set(tokens, mode="drop",
+                                                  unique_indices=True)
         u_idx = u_of[:U]
         pad = u_idx >= n
         safe_u = jnp.minimum(u_idx, n - 1)
@@ -575,6 +578,13 @@ def lookup(cfg: cfglib.TableConfig, state: EVState, qhi, qlo) -> jax.Array:
         admitted = in_table & (state.freqs[safe] >= f.filter_freq)
     else:
         admitted = in_table
+    if _tracking(cfg)[1]:
+        # Version-tracked tables initialize a row's VALUES at its first
+        # trained touch, not at insert (lookup_train_occ) — a key
+        # inserted while beyond the unique budget holds a zero row
+        # until then.  versions < 0 marks exactly that window (and
+        # shrink-evicted slots): read the default bank instead.
+        admitted = admitted & (state.versions[safe] >= 0)
     rows = jnp.where(
         admitted[:, None], state.values[safe],
         _default_rows(cfg, state, qhi, qlo))

@@ -215,8 +215,10 @@ class GroupLookup(NamedTuple):
     lks: Dict[str, ev.LookupResult]      # per table (rows = diff inputs)
     columns: Dict[str, ColumnLookup]     # per column
     # Distinct ids dropped by a table's unique budget this step
-    # (``lookup_train_occ``); {} when no table declares a budget.
-    budget_overflow: Dict[str, jax.Array] = {}
+    # (``lookup_train_occ``); None/empty when no table declares one.
+    # (None rather than {}: a mutable NamedTuple default is one shared
+    # instance across every construction site.)
+    budget_overflow: Optional[Dict[str, jax.Array]] = None
 
 
 class EmbeddingGroup:
@@ -936,7 +938,7 @@ class EmbeddingGroup:
                     and cl.table_name not in seen):
                 seen.add(cl.table_name)
                 tot = tot + cl.routing.n_overflow
-        for v in gl.budget_overflow.values():
+        for v in (gl.budget_overflow or {}).values():
             tot = tot + v
         return tot
 

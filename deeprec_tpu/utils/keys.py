@@ -121,14 +121,43 @@ def shard_of_np(ids: np.ndarray, num_shards: int) -> np.ndarray:
 
 
 def mod_of(hi, lo, m: int):
-    """Non-negative ``id mod m`` for small m (default-value-dim bank
-    selection, reference ``embedding_var.h:104-117``). Uses the low half
-    only, which matches ``id % m`` for m dividing 2**32... for general m
-    we fold both halves: (hi*2^32 + lo) mod m.
+    """Exact ``id mod m`` of the uint64 value ``hi*2^32 + lo`` (the
+    host mirror is ``ids.view(uint64) % m``) — default-value-dim bank
+    selection (reference ``embedding_var.h:104-117``) and static
+    hash-bucket addressing.
+
+    All arithmetic stays in uint32 with intermediates < 2^32: the naive
+    ``(hi%m) * (2^32%m)`` fold overflows for m > 65537 (and Criteo
+    bucket counts reach 300k), so the fold multiplies by the constant
+    ``2^32 mod m`` with a compile-time-unrolled double-and-add chain
+    whose every partial is reduced below m.  Requires ``m < 2^31``.
     """
-    m_u = jnp.uint32(m)
+    if not 1 <= m < (1 << 31):
+        raise ValueError(f"mod_of requires 1 <= m < 2**31, got {m}")
     lo_u = lo.astype(jnp.uint32)
+    if m == 1:
+        return jnp.zeros(lo_u.shape, jnp.int32)
+    if m & (m - 1) == 0:
+        # Power of two: hi*2^32 mod m == 0, only lo contributes.
+        return (lo_u & jnp.uint32(m - 1)).astype(jnp.int32)
+    m_u = jnp.uint32(m)
     hi_u = hi.astype(jnp.uint32)
-    # 2^32 mod m
-    two32_mod = jnp.uint32((1 << 32) % m)
-    return (((hi_u % m_u) * two32_mod + lo_u % m_u) % m_u).astype(jnp.int32)
+    two32_mod = (1 << 32) % m
+
+    def addmod(x, y):
+        # x, y < m < 2^31 so x + y < 2^32 (no wrap); one conditional
+        # subtract completes the reduction.
+        s = x + y
+        return jnp.where(s >= m_u, s - m_u, s)
+
+    # (hi mod m) * two32_mod mod m, double-and-add over the constant's
+    # bits (<= 31 unrolled steps, all elementwise; XLA fuses the chain).
+    cur = hi_u % m_u
+    acc = jnp.zeros(cur.shape, jnp.uint32)
+    nbits = two32_mod.bit_length()
+    for i in range(nbits):
+        if (two32_mod >> i) & 1:
+            acc = addmod(acc, cur)
+        if i + 1 < nbits:
+            cur = addmod(cur, cur)
+    return addmod(acc, lo_u % m_u).astype(jnp.int32)

@@ -217,3 +217,33 @@ def test_lightheader_forced_on_when_subsystem_needs_it():
            for f in __import__("dataclasses").fields(cfg)},
         "ev_option": evo})
     assert ev._tracking(cfg) == (True, True)
+
+
+def test_beyond_budget_insert_reads_default_until_trained():
+    """ADVICE r3: with version tracking + a unique budget, an id
+    inserted while beyond the budget holds an uninitialized values row
+    until its first in-budget trained touch; inference ``lookup()``
+    must serve the default bank in that window, not the zero row."""
+    cfg = cfglib.TableConfig(
+        name="t", dim=4, capacity=64, initializer="constant",
+        init_scale=0.5,
+        ev_option=cfglib.EmbeddingVariableOption(record_version=True))
+    state = ev.create(cfg)
+    ids = np.asarray([11, 22, 33], np.int64)
+    hi, lo = keylib.split_ids(ids)
+    # budget=2: id 33 is inserted but beyond the unique budget.
+    state, occ = ev.lookup_train_occ(
+        cfg, state, jnp.asarray(hi), jnp.asarray(lo), 0, budget=2)
+    assert int(occ.n_overflow) == 1
+    h3, l3 = keylib.split_ids(np.asarray([33], np.int64))
+    got = np.asarray(ev.lookup(cfg, state, jnp.asarray(h3),
+                               jnp.asarray(l3)))[0]
+    bank = np.asarray(state.default_bank)[0]
+    np.testing.assert_allclose(got, bank)
+    assert np.abs(bank).sum() > 0  # the bank is NOT the zero row here
+    # After an in-budget trained touch the row serves its real value.
+    state, occ2 = ev.lookup_train_occ(
+        cfg, state, jnp.asarray(h3), jnp.asarray(l3), 1, budget=2)
+    got2 = np.asarray(ev.lookup(cfg, state, jnp.asarray(h3),
+                                jnp.asarray(l3)))[0]
+    np.testing.assert_allclose(got2, np.full(4, 0.5), rtol=1e-6)

@@ -180,3 +180,46 @@ def test_static_checkpoint_roundtrip(tmp_path):
 def test_static_requires_num_buckets():
     with pytest.raises(ValueError):
         EmbeddingColumn(name="x", dim=4, static_bucket=True).table_config()
+
+
+def test_mod_of_matches_exact_uint64_mod():
+    """Device ``keylib.mod_of`` must equal the host's exact
+    ``ids.view(uint64) % m`` for ALL m (ADVICE r3: the uint32 fold
+    overflowed for m > 65537, silently mis-slotting Criteo-sized
+    bucket tables)."""
+    rng = np.random.default_rng(7)
+    ids = np.concatenate([
+        rng.integers(0, 2**62, size=64).astype(np.int64),
+        rng.integers(-(2**62), 0, size=32).astype(np.int64),
+        np.asarray([0, 1, 123456789012345, 2**31, 2**32, 2**33 + 5,
+                    np.iinfo(np.int64).max, -1, -(2**40)], np.int64),
+    ])
+    hi, lo = keylib.split_ids(ids)
+    want_all = ids.view(np.uint64)
+    for m in (1, 2, 7, 100, 1350, 65536, 65537, 65538, 300000,
+              999983, 2**20, 2**24 + 3, 2**31 - 1):
+        got = np.asarray(keylib.mod_of(jnp.asarray(hi), jnp.asarray(lo), m))
+        want = (want_all % np.uint64(m)).astype(np.int64)
+        np.testing.assert_array_equal(
+            got.astype(np.int64), want, err_msg=f"m={m}")
+
+
+def test_device_host_static_transform_agree_large_buckets():
+    """transform_ids (device) vs transform_ids_np (host) on a
+    300000-bucket static column — the exact regression from ADVICE r3
+    (id 123456789012345 mod 300000 must be 12345 on both paths)."""
+    col = EmbeddingColumn(name="big", dim=4, num_buckets=300000,
+                          static_bucket=True)
+    g = EmbeddingGroup([col], coalesce=False)
+    rng = np.random.default_rng(3)
+    ids = np.concatenate([
+        np.asarray([123456789012345, 0, 299999, 300000, 2**33 + 17],
+                   np.int64),
+        rng.integers(0, 2**62, size=200).astype(np.int64),
+    ])[:, None]
+    hi_h, lo_h = g.transform_ids_np(col, ids)
+    hi, lo = keylib.split_ids(ids)
+    hi_d, lo_d = g.transform_ids(col, jnp.asarray(hi), jnp.asarray(lo))
+    np.testing.assert_array_equal(np.asarray(hi_d), hi_h)
+    np.testing.assert_array_equal(np.asarray(lo_d), lo_h)
+    assert int(lo_h[0, 0]) == 12345
