@@ -10,13 +10,17 @@ operation is a pure function on that state, so it composes with ``jit``,
 ``grad`` and ``shard_map``.
 
 Design:
-  * ``capacity`` is a power of two; probing is linear with wraparound.
+  * ``capacity`` is a power of two; probing is linear with wraparound,
+    starting at a BUCKET_W-aligned slot so the fast scan fetches one
+    whole bucket row per id (one gather index — indexed ops price per
+    index on TPU, nearly independent of row width).
   * Keys are (hi, lo) int32 pairs (see ``utils/keys.py``); slot ``i``
     holds key ``(key_hi[i], key_lo[i])``.  EMPTY marks a never-used
     slot, TOMBSTONE an evicted one (probe chains skip it, inserts reuse
     it).
-  * A probe scan is one vectorized gather of shape ``[n, max_probes]``
-    — no data-dependent loops, so XLA tiles it well.
+  * A straggler rescan is one vectorized gather of shape
+    ``[m, max_probes]`` over a compacted buffer — no data-dependent
+    shapes, so XLA tiles it well.
   * Concurrent inserts inside one batch are serialized with a
     scatter-min "claim" round: every pending id proposes its first
     reusable slot, the lowest batch index wins the slot, losers rescan.
@@ -82,16 +86,30 @@ def create(capacity: int) -> HashTable:
     return HashTable(key_pair=pair)
 
 
-def _scan(key_pair, qhi, qlo, buckets, max_probes: int):
-    """One vectorized probe scan.
+# Bucket width: slots are grouped in rows of BUCKET_W; the fast probe
+# scan gathers ONE [2*BUCKET_W]-int32 bucket row per id (a single
+# gather index) instead of per-slot rows.  Indexed ops on this platform
+# price per INDEX nearly independent of row width (tools/
+# exp_primitives.py), so the bucket-row fetch sync-measures 2.6x faster
+# than the old per-slot W=4 gather while scanning 4x more slots
+# (tools/exp_bucket_probe.py: flat W4 14.3 ms vs bucket W16 5.6 ms at
+# 426k ids / 2^20 slots on v5e).
+BUCKET_W = 16
 
-    Returns (found, found_slot, has_reuse, reuse_slot, saw_empty),
-    each [n].  Slots equal to ``capacity`` mean "none".
-    """
-    capacity = key_pair.shape[0]
-    offs = jnp.arange(max_probes, dtype=jnp.int32)
-    pos = (buckets[:, None] + offs[None, :]) & jnp.int32(capacity - 1)
-    kp = key_pair[pos]          # [n, W, 2] — ONE gather for both halves
+
+def _bucket_w(capacity: int) -> int:
+    return min(BUCKET_W, capacity)
+
+
+def _start_slots(qhi, qlo, capacity: int):
+    """Aligned probe-start slot of each id: the hash bucket rounded down
+    to its BUCKET_W row so the fast scan is one whole-row gather."""
+    b = keylib.bucket_of(qhi, qlo, capacity)
+    return b & jnp.int32(capacity - _bucket_w(capacity))
+
+
+def _match_logic(kp, qhi, qlo, pos, capacity):
+    """Shared tail of a probe scan over fetched keys kp [n, W, 2]."""
     khi = kp[..., 0]
     klo = kp[..., 1]
     match = (khi == qhi[:, None]) & (klo == qlo[:, None])
@@ -118,19 +136,51 @@ def _scan(key_pair, qhi, qlo, buckets, max_probes: int):
     return found, found_slot, has_reuse, reuse_slot, jnp.any(empty, 1)
 
 
+def _scan_fast(key_pair, qhi, qlo, starts):
+    """Fast probe scan: ONE bucket-row gather covering BUCKET_W slots
+    per id (one gather index each).  ``starts`` must be row-aligned
+    (see :func:`_start_slots`).  Returns the same tuple as
+    :func:`_scan`."""
+    capacity = key_pair.shape[0]
+    W = _bucket_w(capacity)
+    n = qhi.shape[0]
+    view = key_pair.reshape(capacity // W, 2 * W)
+    kp = view[starts // W].reshape(n, W, 2)   # one index per id
+    offs = jnp.arange(W, dtype=jnp.int32)
+    pos = starts[:, None] + offs[None, :]     # aligned: no wraparound
+    return _match_logic(kp, qhi, qlo, pos, capacity)
+
+
+def _scan(key_pair, qhi, qlo, buckets, max_probes: int):
+    """Full-width probe scan (straggler rescans): per-slot gather
+    [n, max_probes, 2] with linear wraparound from ``buckets``.
+
+    Returns (found, found_slot, has_reuse, reuse_slot, saw_empty),
+    each [n].  Slots equal to ``capacity`` mean "none".
+    """
+    capacity = key_pair.shape[0]
+    offs = jnp.arange(max_probes, dtype=jnp.int32)
+    pos = (buckets[:, None] + offs[None, :]) & jnp.int32(capacity - 1)
+    kp = key_pair[pos]          # [n, W, 2] — ONE gather for both halves
+    return _match_logic(kp, qhi, qlo, pos, capacity)
+
+
+# Retained for call-site compatibility: the fast window is now one
+# BUCKET_W-slot bucket row regardless of ``fast_probes`` (it is at
+# least as wide as any configured value and cheaper than any per-slot
+# fast scan was — see BUCKET_W above).
 FAST_PROBES = 8
 
 # Two-level probing (the TPU-critical optimization of this module):
-# the [n, max_probes] key gather is THE dominant cost of the embedding
-# path — XLA gathers run at ~100-200M indexed elements/s on v5e
-# (sync-measured), so a 64-wide scan of a 426k-id batch costs ~500 ms
-# while an 8-wide one costs ~70 ms. At realistic load factors nearly
-# every id resolves within the first few probes, so both find and
-# find_or_insert scan 8-wide first and fall back to the full width
-# inside a ``lax.while_loop`` whose trip count is data-dependent —
-# real control flow that costs nothing when nothing is pending
-# (``lax.cond`` does NOT work here: XLA flattens it to executing both
-# branches).
+# the probe key gather is THE dominant cost of the embedding path —
+# XLA indexed ops price per gather INDEX on v5e (sync-measured,
+# tools/exp_primitives.py), so the fast pass fetches ONE bucket row
+# ([2*BUCKET_W] int32) per id. At realistic load factors nearly every
+# id resolves within its own bucket row, and stragglers fall back to a
+# full-width per-slot scan inside a ``lax.while_loop`` whose trip
+# count is data-dependent — real control flow that costs nothing when
+# nothing is pending (``lax.cond`` does NOT work here: XLA flattens it
+# to executing both branches).
 #
 # Correctness of the fast pass rests on prefix properties:
 #   * a match in the fast window is THE slot;
@@ -171,13 +221,13 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64,
     """
     capacity = table.capacity
     n = qhi.shape[0]
-    buckets = keylib.bucket_of(qhi, qlo, capacity)
+    W = _bucket_w(capacity)
+    buckets = _start_slots(qhi, qlo, capacity)
     is_sentinel = qhi == keylib.EMPTY_HI
-    found, found_slot, _, _, saw_empty = _scan(
-        table.key_pair, qhi, qlo, buckets,
-        min(fast_probes, max_probes))
+    found, found_slot, _, _, saw_empty = _scan_fast(
+        table.key_pair, qhi, qlo, buckets)
     slots = jnp.where(found & ~is_sentinel, found_slot, capacity)
-    if max_probes <= fast_probes:
+    if max_probes <= W:
         return slots
     # Stragglers (not found, no EMPTY proof in the fast window) rescan
     # at full width over a COMPACTED fixed-size buffer — [M, W] instead
@@ -204,7 +254,8 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64,
             table.key_pair,
             jnp.where(pad, keylib.EMPTY_HI, qhi[safe]),
             jnp.where(pad, keylib.EMPTY_LO, qlo[safe]),
-            jnp.where(pad, 0, buckets[safe]), max_probes)
+            jnp.where(pad, 0, buckets[safe]),
+            max(max_probes, W))
         slots = slots.at[idx].set(
             jnp.where(f2, fs2, capacity), mode="drop")
         pending = pending.at[idx].set(False, mode="drop")
@@ -239,19 +290,19 @@ def find_or_insert(
     """
     n = qhi.shape[0]
     capacity = table.capacity
-    buckets = keylib.bucket_of(qhi, qlo, capacity)
+    buckets = _start_slots(qhi, qlo, capacity)
     tokens = jnp.arange(n, dtype=jnp.int32)
     is_sentinel = qhi == keylib.EMPTY_HI
     want_insert = jnp.asarray(insert_mask, jnp.bool_) & ~is_sentinel
 
-    def round_fn(state, probes: int, need_empty_proof: bool):
-        """One scan + claim round at the given probe width.
+    def round_fn(state):
+        """The fast scan + claim round (one bucket-row gather).
 
-        ``need_empty_proof``: fast-pass claims must have seen an EMPTY
-        in their window (prefix absence proof — see module comment);
-        full-width rounds claim on any reusable slot, matching the
-        original semantics (the full window always contains the match
-        if one exists).
+        Fast-pass claims must have seen an EMPTY in their window
+        (prefix absence proof — see module comment); the full-width
+        rounds below claim on any reusable slot, matching the original
+        semantics (the full window always contains the match if one
+        exists).
 
         The claim scatter + key write only execute when at least one id
         actually wants to insert (a 1-trip ``while_loop``): in steady
@@ -261,17 +312,16 @@ def find_or_insert(
         still pay ~11 ms at headline batch sizes.
         """
         r, key_pair, slots, is_new, pending = state
-        found, found_slot, has_reuse, reuse_slot, saw_empty = _scan(
-            key_pair, qhi, qlo, buckets, probes)
+        found, found_slot, has_reuse, reuse_slot, saw_empty = _scan_fast(
+            key_pair, qhi, qlo, buckets)
         # Resolve finds (lookup-only ids and insert ids alike).
         hit = pending & found
         slots = jnp.where(hit, found_slot, slots)
         pending = pending & ~found
         # Claim: lowest batch index wins each proposed slot. Only ids
-        # with insert_mask may claim.
-        want = pending & has_reuse & want_insert
-        if need_empty_proof:
-            want = want & saw_empty
+        # with insert_mask may claim, and only with an EMPTY proof in
+        # their window (see module comment).
+        want = pending & has_reuse & want_insert & saw_empty
 
         def claim_body(cstate):
             key_pair, slots, is_new, pending, _ = cstate
@@ -304,12 +354,11 @@ def find_or_insert(
         ~is_sentinel,
     )
 
-    # Fast pass: one narrow round resolves nearly everything in steady
-    # state; the full-width while_loop below then runs ZERO iterations
-    # (data-dependent trip count — the wide [n, max_probes] gather is
-    # never executed).
-    fastw = min(fast_probes, max_probes)
-    state, saw_empty = round_fn(state, fastw, need_empty_proof=True)
+    # Fast pass: one bucket-row round resolves nearly everything in
+    # steady state; the full-width while_loop below then runs ZERO
+    # iterations (data-dependent trip count — the wide [n, max_probes]
+    # gather is never executed).
+    state, saw_empty = round_fn(state)
     r, key_pair, slots, is_new, pending = state
     # Non-insert ids whose fast window proved absence are done; ids
     # without proof (or unclaimed inserts) go to the full-width loop.
@@ -335,7 +384,8 @@ def find_or_insert(
         q2l = jnp.where(pad, keylib.EMPTY_LO, qlo[safe])
         found, found_slot, has_reuse, reuse_slot, _ = _scan(
             key_pair, q2h, q2l,
-            jnp.where(pad, 0, buckets[safe]), max_probes)
+            jnp.where(pad, 0, buckets[safe]),
+            max(max_probes, _bucket_w(capacity)))
         real2 = ~pad
         hit = real2 & found
         slots = slots.at[jnp.where(hit, idx, n)].set(
@@ -424,10 +474,11 @@ def compact_np(key_hi: np.ndarray, key_lo: np.ndarray):
 
 
 def _bucket_np(hi: int, lo: int, capacity: int) -> int:
+    """Host mirror of :func:`_start_slots` (aligned probe start)."""
     h = (lo & 0xFFFFFFFF) ^ (((hi & 0xFFFFFFFF) * 0x9E3779B9) & 0xFFFFFFFF)
     h ^= h >> 16
     h = (h * 0x85EBCA6B) & 0xFFFFFFFF
     h ^= h >> 13
     h = (h * 0xC2B2AE35) & 0xFFFFFFFF
     h ^= h >> 16
-    return h & (capacity - 1)
+    return h & (capacity - _bucket_w(capacity))

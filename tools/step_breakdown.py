@@ -61,6 +61,12 @@ def timeit(fn, *args, n=20, warm=3):
     return (time.perf_counter() - t0) / n
 
 
+def _p(name, v):
+    import sys as _sys
+    print(f"[phase {name}] {v*1e3:.3f} ms", file=_sys.stderr, flush=True)
+    return v
+
+
 def main():
     import optax
 
@@ -167,6 +173,9 @@ def main():
                             "lookup_total_ms": round(t_occ * 1e3, 3),
                             "probe_ms": round(t_probe * 1e3, 3),
                             "gather_ms": round(t_gather * 1e3, 3)}
+        import sys as _sys
+        print(f"[{tname}] {per_table[tname]}", file=_sys.stderr,
+              flush=True)
         phases["lookup_total"] += t_occ
         phases["probe_find"] += t_probe
         phases["gather"] += t_gather
@@ -199,8 +208,8 @@ def main():
                        for v in e.values())
         return jax.grad(f)(rows_)
 
-    phases["combine_fwd_bwd"] = timeit(
-        combine_fwd_bwd, {t: lk.rows for t, lk in lks.items()}, n=steps)
+    phases["combine_fwd_bwd"] = _p("combine_fwd_bwd", timeit(
+        combine_fwd_bwd, {t: lk.rows for t, lk in lks.items()}, n=steps))
 
     # Dense towers: forward+backward on fixed embeddings (the
     # matmul-bound part of the step; grads flow to params AND
@@ -211,8 +220,8 @@ def main():
             return loss_fn(afn(p, e, bb), bb).mean()
         return jax.grad(f, argnums=(0, 1))(params_, embs_)
 
-    phases["dense_fwd_bwd"] = timeit(dense_fwd_bwd, ts.params, embs, b,
-                                     n=steps)
+    phases["dense_fwd_bwd"] = _p("dense_fwd_bwd", timeit(
+        dense_fwd_bwd, ts.params, embs, b, n=steps))
 
     # Sparse apply: optimizer row update at the step's row count,
     # summed over the physical tables like the indexed phases above.
@@ -227,12 +236,15 @@ def main():
         t_apply = timeit(jax.jit(apply_j), ts.slots[t], ts.ev[t].values,
                          lks[t], n=steps)
         per_table[t]["apply_ms"] = round(t_apply * 1e3, 3)
+        import sys as _sys
+        print(f"[apply {t}] {per_table[t]['apply_ms']} ms",
+              file=_sys.stderr, flush=True)
         phases["sparse_apply"] += t_apply
 
     step_nd = trainlib.make_train_step(group, afn, loss_fn, opt, tx,
                                        donate=False)
-    phases["full_step"] = timeit(
-        lambda t_, bb: step_nd(t_, bb)[1]["loss"], ts, b, n=steps)
+    phases["full_step"] = _p("full_step", timeit(
+        lambda t_, bb: step_nd(t_, bb)[1]["loss"], ts, b, n=steps))
 
     # Useful-bytes lower bounds for the indexed phases (what the phase
     # MUST move from/to HBM, ignoring probe overshoot and sort passes)
