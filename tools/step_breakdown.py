@@ -91,8 +91,16 @@ def main():
     # headroom on the 16 GB chip.
     cap = 1 << _arg("--cap", 20)
 
+    # --light: the bench.py headline config (LightHeader — no
+    # freq/version metadata scatters, the reference EV default).
+    evo = None
+    if "--light" in sys.argv:
+        from deeprec_tpu import config as cfglib
+        evo = cfglib.EmbeddingVariableOption(record_freq=False,
+                                             record_version=False)
     cols = wdl.criteo_columns(embedding_dim=16, capacity=cap,
-                              reference_shapes=True, wide_in_deep=True)
+                              reference_shapes=True, wide_in_deep=True,
+                              ev_option=evo)
     group = EmbeddingGroup(cols, coalesce=True)
     model = wdl.WDL(hidden=(1024, 512, 256), dtype=jnp.bfloat16)
     data = SyntheticCriteo(batch_size=batch, vocab=CRITEO_HASH_BUCKETS,
