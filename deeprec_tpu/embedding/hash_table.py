@@ -5,7 +5,7 @@ This is the TPU-native replacement for DeepRec's ``LocklessHashMap``
 mapping half of ``EmbeddingVar::LookupOrCreate``
 (``core/framework/embedding/embedding_var.h:130``).  The reference
 resolves ids to heap pointers on the host with a concurrent hash map;
-here the table is a fixed-capacity, device-resident array pair and every
+here the table is a fixed-capacity, device-resident array and every
 operation is a pure function on that state, so it composes with ``jit``,
 ``grad`` and ``shard_map``.
 
@@ -14,13 +14,19 @@ Design:
     starting at a BUCKET_W-aligned slot so the fast scan fetches one
     whole bucket row per id (one gather index — indexed ops price per
     index on TPU, nearly independent of row width).
-  * Keys are (hi, lo) int32 pairs (see ``utils/keys.py``); slot ``i``
-    holds key ``(key_hi[i], key_lo[i])``.  EMPTY marks a never-used
-    slot, TOMBSTONE an evicted one (probe chains skip it, inserts reuse
-    it).
-  * A straggler rescan is one vectorized gather of shape
-    ``[m, max_probes]`` over a compacted buffer — no data-dependent
-    shapes, so XLA tiles it well.
+  * Keys are (hi, lo) int32 pairs (see ``utils/keys.py``) stored
+    INTERLEAVED in bucket-row layout: ``key_rows[r, 2*w : 2*w+2]``
+    holds slot ``r*W + w``.  With ``W = 64`` a row is exactly 128 int32
+    — one full (8, 128) TPU tile line, so the RESIDENT layout is the
+    COMPUTE layout: 8 bytes/slot with zero tile padding and no
+    relayout copies.  (Storing ``[capacity, 2]`` and reshaping per
+    probe pinned an XLA layout whose minor dim 2 padded to 128 — a
+    64x-expanded, 16 GB copy per step at 2^25 slots; the round-4 dim16
+    OOM.)  EMPTY marks a never-used slot, TOMBSTONE an evicted one
+    (probe chains skip it, inserts reuse it).
+  * A straggler rescan gathers WIDE_ROWS consecutive bucket rows per
+    pending id over a compacted buffer — no data-dependent shapes, so
+    XLA tiles it well.
   * Concurrent inserts inside one batch are serialized with a
     scatter-min "claim" round: every pending id proposes its first
     reusable slot, the lowest batch index wins the slot, losers rescan.
@@ -44,22 +50,41 @@ import numpy as np
 
 from deeprec_tpu.utils import keys as keylib
 
+# Bucket width: slots are grouped in rows of BUCKET_W; the fast probe
+# scan gathers ONE [2*BUCKET_W]-int32 bucket row per id (a single
+# gather index) instead of per-slot rows.  Indexed ops on this platform
+# price per INDEX nearly independent of row width (tools/
+# exp_primitives.py), so the bucket-row fetch sync-measures 2.6x faster
+# than the old per-slot W=4 gather while scanning more slots
+# (tools/exp_bucket_probe.py).  W=64 makes a bucket row 128 int32 =
+# one (8, 128) tile line: the stored layout needs no padding and no
+# relayout copy (see module docstring).
+BUCKET_W = 64
+
+# Straggler-rescan width in bucket rows.  Two rows (128 slots from the
+# aligned start) keep the probability of a full window negligible even
+# with the start-entropy loss of row alignment (all ids hashing into
+# one row share a chain start): at load factor 0.5 a 128-slot window
+# saturates with probability ~1e-12 per row.  Inserts and finds use the
+# SAME window so absence conclusions agree with placement.
+WIDE_ROWS = 2
+
 
 class HashTable(NamedTuple):
-    """Pure state: slot ``i`` holds key ``key_pair[i] = (hi, lo)``.
+    """Pure state: slot ``i`` lives at ``key_rows[i // W, 2*(i % W)]``
+    (hi) and ``+1`` (lo), with ``W = _bucket_w(capacity)``."""
 
-    The two int32 halves are INTERLEAVED in one [capacity, 2] array —
-    the probe scan then fetches both halves of a slot in a single
-    gather row (one HBM transaction), which sync-measures 3.4x faster
-    than two separate [n, W] gathers on v5e (the probe fetch is the
-    transaction-bound part of the lookup path).
-    """
-
-    key_pair: jax.Array  # [capacity, 2] int32
+    key_rows: jax.Array  # [capacity // W, 2*W] int32, interleaved
 
     @property
     def capacity(self) -> int:
-        return self.key_pair.shape[-2]
+        return self.key_rows.shape[-2] * (self.key_rows.shape[-1] // 2)
+
+    @property
+    def key_pair(self) -> jax.Array:
+        """[capacity, 2] int32 view (host/checkpoint use — this reshape
+        may materialize on device; avoid it inside the step)."""
+        return self.key_rows.reshape(self.capacity, 2)
 
     @property
     def key_hi(self) -> jax.Array:
@@ -72,29 +97,22 @@ class HashTable(NamedTuple):
 
 def from_arrays(key_hi, key_lo) -> HashTable:
     """Build from separate hi/lo arrays (host rebuilds, tests)."""
-    return HashTable(key_pair=jnp.stack(
+    pair = jnp.stack(
         [jnp.asarray(key_hi, jnp.int32),
-         jnp.asarray(key_lo, jnp.int32)], axis=-1))
+         jnp.asarray(key_lo, jnp.int32)], axis=-1)
+    capacity = pair.shape[0]
+    W = _bucket_w(capacity)
+    return HashTable(key_rows=pair.reshape(capacity // W, 2 * W))
 
 
 def create(capacity: int) -> HashTable:
     if capacity & (capacity - 1):
         raise ValueError(f"capacity {capacity} must be a power of two")
-    pair = jnp.broadcast_to(
-        jnp.asarray([keylib.EMPTY_HI, keylib.EMPTY_LO], jnp.int32),
-        (capacity, 2))
-    return HashTable(key_pair=pair)
-
-
-# Bucket width: slots are grouped in rows of BUCKET_W; the fast probe
-# scan gathers ONE [2*BUCKET_W]-int32 bucket row per id (a single
-# gather index) instead of per-slot rows.  Indexed ops on this platform
-# price per INDEX nearly independent of row width (tools/
-# exp_primitives.py), so the bucket-row fetch sync-measures 2.6x faster
-# than the old per-slot W=4 gather while scanning 4x more slots
-# (tools/exp_bucket_probe.py: flat W4 14.3 ms vs bucket W16 5.6 ms at
-# 426k ids / 2^20 slots on v5e).
-BUCKET_W = 16
+    W = _bucket_w(capacity)
+    row = jnp.tile(
+        jnp.asarray([keylib.EMPTY_HI, keylib.EMPTY_LO], jnp.int32), W)
+    return HashTable(
+        key_rows=jnp.broadcast_to(row, (capacity // W, 2 * W)))
 
 
 def _bucket_w(capacity: int) -> int:
@@ -136,39 +154,47 @@ def _match_logic(kp, qhi, qlo, pos, capacity):
     return found, found_slot, has_reuse, reuse_slot, jnp.any(empty, 1)
 
 
-def _scan_fast(key_pair, qhi, qlo, starts):
+def _scan_fast(key_rows, qhi, qlo, starts):
     """Fast probe scan: ONE bucket-row gather covering BUCKET_W slots
     per id (one gather index each).  ``starts`` must be row-aligned
     (see :func:`_start_slots`).  Returns the same tuple as
-    :func:`_scan`."""
-    capacity = key_pair.shape[0]
-    W = _bucket_w(capacity)
+    :func:`_scan_wide`."""
+    n_rows, row_elems = key_rows.shape
+    W = row_elems // 2
+    capacity = n_rows * W
     n = qhi.shape[0]
-    view = key_pair.reshape(capacity // W, 2 * W)
-    kp = view[starts // W].reshape(n, W, 2)   # one index per id
+    kp = key_rows[starts // W].reshape(n, W, 2)   # one index per id
     offs = jnp.arange(W, dtype=jnp.int32)
     pos = starts[:, None] + offs[None, :]     # aligned: no wraparound
     return _match_logic(kp, qhi, qlo, pos, capacity)
 
 
-def _scan(key_pair, qhi, qlo, buckets, max_probes: int):
-    """Full-width probe scan (straggler rescans): per-slot gather
-    [n, max_probes, 2] with linear wraparound from ``buckets``.
+def _scan_wide(key_rows, qhi, qlo, starts, max_probes: int):
+    """Straggler rescan: WIDE_ROWS consecutive bucket rows per id
+    (``max(max_probes, WIDE_ROWS*W)`` slots, rounded up to whole rows)
+    with row-granular wraparound from the aligned ``starts``.
 
     Returns (found, found_slot, has_reuse, reuse_slot, saw_empty),
     each [n].  Slots equal to ``capacity`` mean "none".
     """
-    capacity = key_pair.shape[0]
-    offs = jnp.arange(max_probes, dtype=jnp.int32)
-    pos = (buckets[:, None] + offs[None, :]) & jnp.int32(capacity - 1)
-    kp = key_pair[pos]          # [n, W, 2] — ONE gather for both halves
+    n_rows, row_elems = key_rows.shape
+    W = row_elems // 2
+    capacity = n_rows * W
+    n = qhi.shape[0]
+    R = min(n_rows, max(WIDE_ROWS, -(-max_probes // W)))
+    r0 = starts // W
+    ridx = (r0[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]) % n_rows
+    kp = key_rows[ridx].reshape(n, R * W, 2)
+    offs = jnp.arange(R * W, dtype=jnp.int32)
+    pos = (starts[:, None] + offs[None, :]) & jnp.int32(capacity - 1)
     return _match_logic(kp, qhi, qlo, pos, capacity)
 
 
-# Retained for call-site compatibility: the fast window is now one
-# BUCKET_W-slot bucket row regardless of ``fast_probes`` (it is at
+# Deprecated: the fast window is one BUCKET_W-slot bucket row and the
+# wide window is WIDE_ROWS rows regardless of ``fast_probes`` (both at
 # least as wide as any configured value and cheaper than any per-slot
-# fast scan was — see BUCKET_W above).
+# scan was).  The parameter is accepted for call-site compatibility and
+# ignored.
 FAST_PROBES = 8
 
 # Two-level probing (the TPU-critical optimization of this module):
@@ -177,10 +203,10 @@ FAST_PROBES = 8
 # tools/exp_primitives.py), so the fast pass fetches ONE bucket row
 # ([2*BUCKET_W] int32) per id. At realistic load factors nearly every
 # id resolves within its own bucket row, and stragglers fall back to a
-# full-width per-slot scan inside a ``lax.while_loop`` whose trip
-# count is data-dependent — real control flow that costs nothing when
-# nothing is pending (``lax.cond`` does NOT work here: XLA flattens it
-# to executing both branches).
+# WIDE_ROWS-row scan inside a ``lax.while_loop`` whose trip count is
+# data-dependent — real control flow that costs nothing when nothing
+# is pending (``lax.cond`` does NOT work here: XLA flattens it to
+# executing both branches).
 #
 # Correctness of the fast pass rests on prefix properties:
 #   * a match in the fast window is THE slot;
@@ -192,6 +218,9 @@ FAST_PROBES = 8
 #     alone is no absence proof (the key may sit beyond it, inserted
 #     before the eviction) and claiming it would duplicate the key and
 #     orphan its trained row.
+#
+# Inserts and finds share the wide window (same R), so "absent at full
+# width" in find() agrees with where find_or_insert can place keys.
 
 
 def _straggler_budget(n: int) -> int:
@@ -212,32 +241,46 @@ def _compact(mask, n: int, M: int):
     return jnp.nonzero(mask, size=M, fill_value=n)[0].astype(jnp.int32)
 
 
+def _write_keys(key_rows, widx, qhi, qlo):
+    """Scatter key pairs into bucket-row storage at slots ``widx``
+    (``capacity`` and beyond drop).  One scatter, two elements per id."""
+    n_rows, row_elems = key_rows.shape
+    W = row_elems // 2
+    rows = widx // W                     # OOB row for dropped entries
+    col = 2 * (widx % W)
+    cols = jnp.stack([col, col + 1], axis=-1)       # [n, 2]
+    vals = jnp.stack([qhi, qlo], axis=-1)           # [n, 2]
+    return key_rows.at[rows[:, None], cols].set(vals, mode="drop")
+
+
 def find(table: HashTable, qhi, qlo, max_probes: int = 64,
          fast_probes: int = FAST_PROBES):
     """Lookup-only. Returns slots [n] int32; ``capacity`` if absent.
 
     Padding entries may use the EMPTY sentinel id; they return
-    ``capacity``.
+    ``capacity``.  The effective probe window is at least one BUCKET_W
+    bucket row (fast pass) and at least WIDE_ROWS rows for stragglers —
+    ``max_probes`` smaller than those scans the full window anyway
+    (finds strictly more); ``fast_probes`` is deprecated and ignored.
     """
     capacity = table.capacity
     n = qhi.shape[0]
-    W = _bucket_w(capacity)
     buckets = _start_slots(qhi, qlo, capacity)
     is_sentinel = qhi == keylib.EMPTY_HI
     found, found_slot, _, _, saw_empty = _scan_fast(
-        table.key_pair, qhi, qlo, buckets)
+        table.key_rows, qhi, qlo, buckets)
     slots = jnp.where(found & ~is_sentinel, found_slot, capacity)
-    if max_probes <= W:
-        return slots
+    if capacity <= _bucket_w(capacity):
+        return slots  # single row IS the whole table
     # Stragglers (not found, no EMPTY proof in the fast window) rescan
     # at full width over a COMPACTED fixed-size buffer — [M, W] instead
-    # of [n, W], so the wide gather stays ~n/8 of the fast one even
-    # when a handful of long probe chains exist in every batch.  The
-    # buffer is drained in a while_loop: one wide scan settles every id
-    # it covers (found, or concluded absent at full width), so each
-    # round retires up to M ids and the loop runs zero iterations when
-    # the fast pass resolved everything.  A single capped pass would
-    # silently mis-report ids beyond M as missing at high load.
+    # of [n, W], so the wide gather stays a fraction of the fast one
+    # even when a handful of long probe chains exist in every batch.
+    # The buffer is drained in a while_loop: one wide scan settles
+    # every id it covers (found, or concluded absent at full width), so
+    # each round retires up to M ids and the loop runs zero iterations
+    # when the fast pass resolved everything.  A single capped pass
+    # would silently mis-report ids beyond M as missing at high load.
     unresolved = ~is_sentinel & ~found & ~saw_empty
     M = _straggler_budget(n)
 
@@ -250,12 +293,12 @@ def find(table: HashTable, qhi, qlo, max_probes: int = 64,
         idx = _compact(pending, n, M)       # padding = n (OOB => drop)
         pad = idx >= n
         safe = jnp.minimum(idx, n - 1)
-        f2, fs2, _, _, _ = _scan(
-            table.key_pair,
+        f2, fs2, _, _, _ = _scan_wide(
+            table.key_rows,
             jnp.where(pad, keylib.EMPTY_HI, qhi[safe]),
             jnp.where(pad, keylib.EMPTY_LO, qlo[safe]),
             jnp.where(pad, 0, buckets[safe]),
-            max(max_probes, W))
+            max_probes)
         slots = slots.at[idx].set(
             jnp.where(f2, fs2, capacity), mode="drop")
         pending = pending.at[idx].set(False, mode="drop")
@@ -311,9 +354,9 @@ def find_or_insert(
         ``tools/exp_primitives.py``), so an all-dropped claim pass would
         still pay ~11 ms at headline batch sizes.
         """
-        r, key_pair, slots, is_new, pending = state
+        r, key_rows, slots, is_new, pending = state
         found, found_slot, has_reuse, reuse_slot, saw_empty = _scan_fast(
-            key_pair, qhi, qlo, buckets)
+            key_rows, qhi, qlo, buckets)
         # Resolve finds (lookup-only ids and insert ids alike).
         hit = pending & found
         slots = jnp.where(hit, found_slot, slots)
@@ -324,31 +367,30 @@ def find_or_insert(
         want = pending & has_reuse & want_insert & saw_empty
 
         def claim_body(cstate):
-            key_pair, slots, is_new, pending, _ = cstate
+            key_rows, slots, is_new, pending, _ = cstate
             prop = jnp.where(want, reuse_slot, capacity)
             claim = jnp.full((capacity + 1,), n, dtype=jnp.int32)
             claim = claim.at[prop].min(jnp.where(want, tokens, n))
             won = want & (claim[prop] == tokens)
             widx = jnp.where(won, prop, capacity)  # capacity OOB => drop
-            key_pair = key_pair.at[widx].set(
-                jnp.stack([qhi, qlo], axis=-1), mode="drop")
+            key_rows = _write_keys(key_rows, widx, qhi, qlo)
             slots = jnp.where(won, prop, slots)
             is_new = is_new | won
             pending = pending & ~won
-            return (key_pair, slots, is_new, pending,
+            return (key_rows, slots, is_new, pending,
                     jnp.bool_(False) | (qhi[0] != qhi[0]))
 
-        key_pair, slots, is_new, pending, _ = jax.lax.while_loop(
+        key_rows, slots, is_new, pending, _ = jax.lax.while_loop(
             lambda cs: cs[4] & jnp.any(want), claim_body,
-            (key_pair, slots, is_new, pending,
+            (key_rows, slots, is_new, pending,
              jnp.bool_(True) | (qhi[0] != qhi[0])))
-        return (r + 1, key_pair, slots, is_new, pending), saw_empty
+        return (r + 1, key_rows, slots, is_new, pending), saw_empty
 
     # Derive initial carries from the (possibly axis-varying) queries so
     # their vma tags match the loop outputs under shard_map.
     state = (
         jnp.int32(0),
-        table.key_pair,
+        table.key_rows,
         jnp.full((n,), capacity, dtype=jnp.int32) + (qhi & 0),
         jnp.zeros((n,), dtype=jnp.bool_) | (qhi != qhi),
         ~is_sentinel,
@@ -359,11 +401,11 @@ def find_or_insert(
     # iterations (data-dependent trip count — the wide [n, max_probes]
     # gather is never executed).
     state, saw_empty = round_fn(state)
-    r, key_pair, slots, is_new, pending = state
+    r, key_rows, slots, is_new, pending = state
     # Non-insert ids whose fast window proved absence are done; ids
     # without proof (or unclaimed inserts) go to the full-width loop.
     pending = pending & (want_insert | ~saw_empty)
-    state = (r, key_pair, slots, is_new, pending)
+    state = (r, key_rows, slots, is_new, pending)
 
     def cond(state):
         r, _, _, _, pending = state
@@ -373,19 +415,20 @@ def find_or_insert(
 
     def body(state):
         """Full-width round over a COMPACTED pending subset: [M, W]
-        instead of [n, W], so straggler rounds cost ~n/8 of a full
-        scan. Rounds drain up to M pending ids each; leftovers (beyond
-        the buffer, or claim-conflict losers) go to the next round."""
-        r, key_pair, slots, is_new, pending = state
+        instead of [n, W], so straggler rounds cost a fraction of a
+        full scan. Rounds drain up to M pending ids each; leftovers
+        (beyond the buffer, or claim-conflict losers) go to the next
+        round."""
+        r, key_rows, slots, is_new, pending = state
         idx = _compact(pending, n, M)
         pad = idx >= n
         safe = jnp.minimum(idx, n - 1)
         q2h = jnp.where(pad, keylib.EMPTY_HI, qhi[safe])
         q2l = jnp.where(pad, keylib.EMPTY_LO, qlo[safe])
-        found, found_slot, has_reuse, reuse_slot, _ = _scan(
-            key_pair, q2h, q2l,
+        found, found_slot, has_reuse, reuse_slot, _ = _scan_wide(
+            key_rows, q2h, q2l,
             jnp.where(pad, 0, buckets[safe]),
-            max(max_probes, _bucket_w(capacity)))
+            max_probes)
         real2 = ~pad
         hit = real2 & found
         slots = slots.at[jnp.where(hit, idx, n)].set(
@@ -397,8 +440,7 @@ def find_or_insert(
         claim = claim.at[prop].min(jnp.where(want2, idx, n))
         won = want2 & (claim[prop] == idx)
         widx = jnp.where(won, prop, capacity)  # capacity OOB => drop
-        key_pair = key_pair.at[widx].set(
-            jnp.stack([q2h, q2l], axis=-1), mode="drop")
+        key_rows = _write_keys(key_rows, widx, q2h, q2l)
         slots = slots.at[jnp.where(won, idx, n)].set(prop, mode="drop")
         is_new = is_new.at[jnp.where(won, idx, n)].set(True, mode="drop")
         # Done after this round: found, claim winners, and non-insert
@@ -406,11 +448,11 @@ def find_or_insert(
         done = hit | won | (real2 & ~found & ~want_insert[safe])
         pending = pending.at[jnp.where(done, idx, n)].set(
             False, mode="drop")
-        return (r + 1, key_pair, slots, is_new, pending)
+        return (r + 1, key_rows, slots, is_new, pending)
 
-    _, key_pair, slots, is_new, _ = jax.lax.while_loop(
+    _, key_rows, slots, is_new, _ = jax.lax.while_loop(
         cond, body, state)
-    return HashTable(key_pair=key_pair), slots, is_new
+    return HashTable(key_rows=key_rows), slots, is_new
 
 
 def remove_slots(table: HashTable, slot_mask) -> HashTable:
@@ -419,13 +461,16 @@ def remove_slots(table: HashTable, slot_mask) -> HashTable:
     Used by eviction (``StorageManager::Shrink`` analog). Tombstones keep
     probe chains intact and are reused by later inserts.
     """
-    occupied = ~((table.key_hi == keylib.EMPTY_HI)
-                 & ((table.key_lo == keylib.EMPTY_LO)
-                    | (table.key_lo == keylib.TOMB_LO)))
-    m = jnp.asarray(slot_mask, jnp.bool_) & occupied
+    n_rows, row_elems = table.key_rows.shape
+    W = row_elems // 2
+    kp = table.key_rows.reshape(n_rows, W, 2)
+    khi, klo = kp[..., 0], kp[..., 1]
+    occupied = ~((khi == keylib.EMPTY_HI)
+                 & ((klo == keylib.EMPTY_LO) | (klo == keylib.TOMB_LO)))
+    m = jnp.asarray(slot_mask, jnp.bool_).reshape(n_rows, W) & occupied
     tomb = jnp.asarray([keylib.TOMB_HI, keylib.TOMB_LO], jnp.int32)
-    return HashTable(key_pair=jnp.where(
-        m[:, None], tomb[None, :], table.key_pair))
+    kp = jnp.where(m[..., None], tomb[None, None, :], kp)
+    return HashTable(key_rows=kp.reshape(n_rows, row_elems))
 
 
 def live_mask(table: HashTable):
