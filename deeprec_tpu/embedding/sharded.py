@@ -48,18 +48,14 @@ class Routing(NamedTuple):
     n_overflow: jax.Array     # [] int32 ids dropped by capacity factor
 
 
-def _route_ids(uhi, ulo, num_shards: int, per_peer: int):
-    """Bucket local unique ids by owner into an [S, K] send layout.
-
-    Returns (send [S, K, 3] int32 (hi, lo, count-slot placeholder),
-    dest [n]).  Ids beyond ``per_peer`` for a hot owner overflow (they
-    read zeros and receive no update this step) — the capacity-factor
-    margin from SURVEY's skew note; count them for observability.
-    """
-    n = uhi.shape[0]
+def _dest_of(owner, num_shards: int, per_peer: int):
+    """Send-buffer slot of each id given its owner shard (``num_shards``
+    = padding/overflow owner).  Ids beyond ``per_peer`` for a hot owner
+    overflow (they read zeros and receive no update this step) — the
+    capacity-factor margin from SURVEY's skew note; count them for
+    observability."""
+    n = owner.shape[0]
     S, K = num_shards, per_peer
-    is_real = uhi != keylib.EMPTY_HI
-    owner = jnp.where(is_real, keylib.shard_of(uhi, ulo, S), S)
     order = jnp.argsort(owner)
     sorted_owner = owner[order]
     starts = jnp.searchsorted(sorted_owner, jnp.arange(S + 1))
@@ -72,6 +68,15 @@ def _route_ids(uhi, ulo, num_shards: int, per_peer: int):
     return dest, n_overflow.astype(jnp.int32)
 
 
+def _route_ids(uhi, ulo, num_shards: int, per_peer: int):
+    """Bucket local unique ids by owner (shard hash) into an [S, K]
+    send layout; see :func:`_dest_of`."""
+    is_real = uhi != keylib.EMPTY_HI
+    owner = jnp.where(is_real, keylib.shard_of(uhi, ulo, num_shards),
+                      num_shards)
+    return _dest_of(owner, num_shards, per_peer)
+
+
 def _fill_send(dest, payload, fill, S, K):
     """Scatter [n] payload into the [S*K] send buffer (drop overflow)."""
     buf = jnp.full((S * K,), fill, payload.dtype)
@@ -81,6 +86,9 @@ def _fill_send(dest, payload, fill, S, K):
 class ShardedBagLookup(NamedTuple):
     lk: ev.LookupResult   # owner-side unique rows (differentiable input)
     routing: Routing
+    # Owner-side per-unique summed in-batch counts (what the owner's
+    # freq update consumed); adaptive hotness reads these.
+    counts: jax.Array = jnp.int32(0)
 
 
 def bag_lookup_train(
@@ -135,7 +143,7 @@ def bag_lookup_train(
         mask=mask,
         n_overflow=n_overflow,
     )
-    return state, ShardedBagLookup(lk=lk, routing=routing)
+    return state, ShardedBagLookup(lk=lk, routing=routing, counts=csum)
 
 
 def combine(owner_rows, sbl_or_routing, combiner: str, *, axis_name: str):
@@ -258,12 +266,13 @@ def per_peer_slots(n: int, num_shards: int, capacity_factor: float) -> int:
     return -(-K // 8) * 8
 
 
-def lookup_rows_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
-                      capacity_factor: float = 2.0):
-    """Read-only sharded lookup: route ids to owner shards, gather, and
-    exchange rows back WITHOUT combining. Returns ``(local_rows [B*L,
-    dim], inverse [B, L], mask [B, L])`` so callers can slice per-column
-    views (the eval path) or combine directly (``bag_lookup_infer``).
+def exchange_rows_infer(cfg, ids_hi, ids_lo, owner_rows_fn, *,
+                        axis_name: str, capacity_factor: float = 2.0):
+    """Read-only sharded exchange skeleton: route deduped ids to owner
+    shards, compute per-id rows there via ``owner_rows_fn(rhi, rlo) ->
+    [S*K, dim]``, and exchange rows back WITHOUT combining.  Returns
+    ``(local_rows [B*L, dim], inverse [B, L], mask [B, L])`` so callers
+    can slice per-column views (the eval path) or combine directly.
     Call inside shard_map over ``axis_name``."""
     S = jax.lax.axis_size(axis_name)
     B, L = ids_hi.shape
@@ -279,8 +288,8 @@ def lookup_rows_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
     ).reshape(S, K, 2)
     recv = jax.lax.all_to_all(
         send, axis_name, split_axis=0, concat_axis=0, tiled=True)
-    rows = ev.lookup(cfg, state, recv[..., 0].reshape(-1),
-                     recv[..., 1].reshape(-1))
+    rows = owner_rows_fn(recv[..., 0].reshape(-1),
+                         recv[..., 1].reshape(-1))
     back = jax.lax.all_to_all(
         rows.reshape(S, K, -1), axis_name,
         split_axis=0, concat_axis=0, tiled=True).reshape(S * K, -1)
@@ -290,6 +299,16 @@ def lookup_rows_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
     mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
     inverse = dd.inverse.reshape(B, L)
     return local_rows, inverse, mask
+
+
+def lookup_rows_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
+                      capacity_factor: float = 2.0):
+    """Read-only sharded lookup of an EV table (see
+    :func:`exchange_rows_infer`)."""
+    return exchange_rows_infer(
+        cfg, ids_hi, ids_lo,
+        lambda rhi, rlo: ev.lookup(cfg, state, rhi, rlo),
+        axis_name=axis_name, capacity_factor=capacity_factor)
 
 
 def bag_lookup_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
@@ -303,6 +322,192 @@ def bag_lookup_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
 
 
 # ---------------------------------------------------------------------------
+# Static hash-bucket tables, row-sharded (the reference's DEFAULT column
+# type under PS partitioning: ``categorical_column_with_hash_bucket``
+# sharded with ``tf.fixed_size_partitioner`` mod routing,
+# ``python/ops/embedding_ops.py:95-276`` partition_strategy="mod").
+# The group's transform already mapped ids to GLOBAL bucket slots
+# (lo = offset + id mod buckets, hi = 0); shard ``s`` of ``S`` owns
+# global slots with ``slot % S == s`` at local row ``slot // S``, so
+# ``cfg.capacity`` is the PER-SHARD row count and the global bucket
+# space is ``capacity * S``.  Mod routing over the dense slot space is
+# near-uniform by construction — the skew-overflow hazard of hashed EV
+# routing mostly disappears.
+# ---------------------------------------------------------------------------
+
+
+def _static_local_uniques(qhi, qlo, N: int, budget):
+    """First-occurrence dedup of global static slots.
+
+    Returns ``(uslot [U+1] int32, inverse [n] int32 in [0, U],
+    n_budget_overflow [])`` where entry U is the shared padding
+    sentinel (slot ``N``).  Without a budget, U = n and non-representative
+    entries carry slot ``N`` (they are never referenced by ``inverse``).
+    """
+    n = qhi.shape[0]
+    is_real = qhi != keylib.EMPTY_HI
+    tokens = jnp.arange(n, dtype=jnp.int32)
+    slots = jnp.where(is_real, qlo, N)
+    first = jnp.full((N + 1,), n, jnp.int32).at[slots].min(
+        jnp.where(is_real, tokens, n))
+    rep_tok = first[slots]
+    rep = is_real & (rep_tok == tokens)
+    U = n if budget is None else min(budget, n)
+    if U >= n:
+        uslot = jnp.concatenate(
+            [jnp.where(rep, slots, N), jnp.asarray([N], jnp.int32)])
+        inverse = jnp.where(is_real, rep_tok, n)
+        return uslot, inverse, jnp.int32(0)
+    pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    in_budget = rep & (pos < U)
+    u_of = jnp.full((U + 1,), n, jnp.int32).at[
+        jnp.where(in_budget, pos, U + 1)].set(
+        tokens, mode="drop", unique_indices=True)
+    u_idx = u_of[:U]
+    pad = u_idx >= n
+    safe_u = jnp.minimum(u_idx, n - 1)
+    uslot = jnp.concatenate(
+        [jnp.where(pad, N, slots[safe_u]), jnp.asarray([N], jnp.int32)])
+    prep = pos[jnp.minimum(rep_tok, n - 1)]
+    inverse = jnp.where(is_real & (prep < U), prep, U)
+    n_over = jnp.maximum(jnp.sum(rep.astype(jnp.int32)) - jnp.int32(U), 0)
+    return uslot, inverse, n_over
+
+
+def bag_lookup_train_static(
+    cfg: cfglib.TableConfig,
+    state: ev.EVState,
+    ids_hi,
+    ids_lo,
+    global_step,
+    *,
+    axis_name: str,
+    capacity_factor: float = 2.0,
+    budget=None,
+) -> tuple[ev.EVState, ShardedBagLookup]:
+    """Sharded training lookup for a static hash-bucket table.  Call
+    inside shard_map over ``axis_name``; ``state`` is this device's
+    shard ([capacity+1, dim] local rows).  No insert/admission/metadata
+    — the exchange ships ONE int32 plane of global slots each way
+    (vs the EV path's three), and training happens through the sparse
+    optimizer on the owner shard exactly as for EV tables."""
+    S = jax.lax.axis_size(axis_name)
+    B, L = ids_hi.shape
+    Nloc = cfg.capacity
+    N = Nloc * S
+    uslot, inverse, n_budget_over = _static_local_uniques(
+        ids_hi.reshape(-1), ids_lo.reshape(-1), N, budget)
+    K = per_peer_slots(uslot.shape[0], S, capacity_factor)
+    owner = jnp.where(uslot < N, uslot % S, S)
+    dest, n_overflow = _dest_of(owner, S, K)
+    send = _fill_send(dest, uslot, jnp.int32(N), S, K).reshape(S, K)
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0,
+        tiled=True).reshape(-1)                          # [S*K]
+    SK = S * K
+    toks = jnp.arange(SK, dtype=jnp.int32)
+    lrow = jnp.where(recv < N, recv // S, Nloc)
+    # Owner-side dedup (same slot may arrive from several peers; the
+    # optimizer must see it once): first recv entry per local row.
+    ofirst = jnp.full((Nloc + 1,), SK, jnp.int32).at[lrow].min(toks)
+    orep = (lrow < Nloc) & (ofirst[lrow] == toks)
+    owner_inverse = jnp.minimum(ofirst[lrow], SK - 1)
+    oslots = jnp.where(orep, lrow, Nloc)
+    rows = state.values[oslots]
+    lk = ev.LookupResult(
+        slots=oslots, rows=rows, admitted=orep,
+        is_new=jnp.zeros((SK,), jnp.bool_),
+        prev_versions=jnp.full((SK,), global_step, jnp.int32),
+        qhi=jnp.where(recv < N, 0, jnp.int32(keylib.EMPTY_HI)),
+        qlo=jnp.where(recv < N, recv, jnp.int32(keylib.EMPTY_LO)))
+    mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
+    routing = Routing(
+        dest=dest, owner_inverse=owner_inverse,
+        inverse=inverse.reshape(B, L), mask=mask,
+        n_overflow=n_overflow + n_budget_over)
+    return state, ShardedBagLookup(lk=lk, routing=routing)
+
+
+def lookup_rows_infer_static(cfg, state, ids_hi, ids_lo, *,
+                             axis_name: str,
+                             capacity_factor: float = 2.0):
+    """Read-only sharded static lookup: dedup slots, route to owners
+    (``slot % S``), gather local rows, exchange back.  Returns
+    ``(local_rows [n+1, dim], inverse [B, L], mask [B, L])``."""
+    S = jax.lax.axis_size(axis_name)
+    B, L = ids_hi.shape
+    Nloc = cfg.capacity
+    N = Nloc * S
+    uslot, inverse, _ = _static_local_uniques(
+        ids_hi.reshape(-1), ids_lo.reshape(-1), N, None)
+    K = per_peer_slots(uslot.shape[0], S, capacity_factor)
+    owner = jnp.where(uslot < N, uslot % S, S)
+    dest, _ = _dest_of(owner, S, K)
+    send = _fill_send(dest, uslot, jnp.int32(N), S, K).reshape(S, K)
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0,
+        tiled=True).reshape(-1)
+    rows = state.values[jnp.where(recv < N, recv // S, Nloc)]
+    back = jax.lax.all_to_all(
+        rows.reshape(S, K, -1), axis_name,
+        split_axis=0, concat_axis=0, tiled=True).reshape(S * K, -1)
+    back = jnp.concatenate(
+        [back, jnp.zeros((1, back.shape[1]), back.dtype)], axis=0)
+    local_rows = back[dest]
+    mask = ~((ids_hi == keylib.EMPTY_HI) & (ids_lo == keylib.EMPTY_LO))
+    return local_rows, inverse.reshape(B, L), mask
+
+
+def bag_lookup_train_replicated_static(
+    cfg: cfglib.TableConfig,
+    state: ev.EVState,
+    ids_hi,
+    ids_lo,
+    global_step,
+    *,
+    axis_name: str,
+    budget=None,
+) -> tuple[ev.EVState, tuple[ev.LookupResult, RepRouting]]:
+    """Training lookup for a static bucket table REPLICATED across the
+    mesh axis (placement-planner counterpart of
+    :func:`bag_lookup_train_replicated`).  Replicas stay bit-identical
+    because every device computes the union of all devices' unique
+    slots (psum-gather) and the union rows are device-invariant — so
+    shard_map's autodiff already psums their cotangent: each replica
+    applies the identical full-batch row gradient."""
+    N = cfg.capacity
+    uslot, inverse, n_over = _static_local_uniques(
+        ids_hi.reshape(-1), ids_lo.reshape(-1), N, budget)
+    U1 = uslot.shape[0]
+    gslot = _psum_gather(uslot, axis_name)               # [S*U1]
+    SU = gslot.shape[0]
+    toks = jnp.arange(SU, dtype=jnp.int32)
+    ufirst = jnp.full((N + 1,), SU, jnp.int32).at[gslot].min(toks)
+    urep = (gslot < N) & (ufirst[gslot] == toks)
+    union_rows = state.values[jnp.where(urep, gslot, N)]
+    lk = ev.LookupResult(
+        slots=jnp.where(urep, gslot, N), rows=union_rows,
+        admitted=urep, is_new=jnp.zeros((SU,), jnp.bool_),
+        prev_versions=jnp.full((SU,), global_step, jnp.int32),
+        qhi=jnp.where(gslot < N, 0, jnp.int32(keylib.EMPTY_HI)),
+        qlo=jnp.where(gslot < N, gslot, jnp.int32(keylib.EMPTY_LO)))
+    pos = jax.lax.axis_index(axis_name) * U1 + jnp.arange(
+        U1, dtype=jnp.int32)
+    # Local unique j (including the padding sentinel entry) sits at
+    # gathered position pos[j]; its union row is the rep entry's (or
+    # its own zero row for padding).
+    union_of_local = jnp.minimum(ufirst[gslot[pos]], SU - 1)
+    union_of_local = jnp.where(gslot[pos] < N, union_of_local, pos)
+    B, L = ids_hi.shape
+    routing = RepRouting(
+        union_of_local=union_of_local,
+        inverse=inverse.reshape(B, L),
+        mask=~((ids_hi == keylib.EMPTY_HI)
+               & (ids_lo == keylib.EMPTY_LO)))
+    return state, (lk, routing)
+
+
+# ---------------------------------------------------------------------------
 # Helpers for holding a sharded table as one global array (outside
 # shard_map): every EVState leaf gets a leading [num_shards] axis that is
 # sharded over the mesh axis.
@@ -311,9 +516,36 @@ def bag_lookup_infer(cfg, state, ids_hi, ids_lo, *, axis_name: str,
 def create_stacked(cfg: cfglib.TableConfig, num_shards: int,
                    salt: int = 0) -> ev.EVState:
     """Global representation: leading shard axis on every leaf."""
+    if cfg.static_buckets:
+        return create_stacked_static(cfg, num_shards, salt=salt)
     one = ev.create(cfg, salt=salt)
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (num_shards,) + x.shape), one)
+
+
+def create_stacked_static(cfg: cfglib.TableConfig, num_shards: int,
+                          salt: int = 0) -> ev.EVState:
+    """Stacked state for a row-sharded static bucket table: shard ``s``
+    local row ``r`` holds GLOBAL slot ``r * S + s``, initialized exactly
+    as the unsharded table initializes that slot (per-row stateless
+    draws keyed by the global slot), so mesh and single-device
+    trajectories agree row for row."""
+    from deeprec_tpu.utils import stateless_random as srand
+
+    Nloc, dim = cfg.capacity, cfg.dim
+    N = Nloc * num_shards
+    row_hi = jnp.full((N,), 7777 + salt, jnp.int32)
+    row_lo = jnp.arange(N, dtype=jnp.int32)
+    mat = srand.init_rows(cfg.initializer, row_hi, row_lo, dim,
+                          cfg.init_scale, salt=salt)
+    shards = mat.reshape(Nloc, num_shards, dim).transpose(1, 0, 2)
+    values = jnp.concatenate(
+        [shards, jnp.zeros((num_shards, 1, dim), mat.dtype)],
+        axis=1).astype(cfg.dtype)
+    one = ev.create(cfg, salt=salt)
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (num_shards,) + x.shape), one)
+    return stacked.replace(values=values)
 
 
 def local_of(stacked: ev.EVState) -> ev.EVState:

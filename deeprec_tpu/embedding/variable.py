@@ -721,21 +721,32 @@ def import_arrays(
     ids = np.asarray(arrays["keys"], np.int64)
     extra_names = list(extra_targets.keys()) if extra_targets else []
     if cfg.static_buckets:
-        # Keys are row indices; restore is a direct (re-)assignment.
-        idx = jnp.asarray(ids, jnp.int32)
+        # Keys are GLOBAL row indices; with ``partition_num > 1`` this
+        # shard keeps slots ``g % partition_num == partition_id`` at
+        # local row ``g // partition_num`` (mod re-sharding, any saved
+        # shard count -> any restoring one). Single-shard restore is a
+        # direct (re-)assignment.
+        if partition_num > 1:
+            keep = (ids % partition_num) == partition_id
+            idx = jnp.asarray(ids[keep] // partition_num, jnp.int32)
+            sel = np.nonzero(keep)[0]
+        else:
+            keep = np.ones(ids.shape[0], bool)
+            idx = jnp.asarray(ids, jnp.int32)
+            sel = slice(None)
         state = state.replace(values=state.values.at[idx].set(
-            jnp.asarray(arrays["values"]).astype(state.values.dtype),
-            mode="drop"))
+            jnp.asarray(np.asarray(arrays["values"])[sel]).astype(
+                state.values.dtype), mode="drop"))
         extras_dev = dict(extra_targets) if extra_targets else {}
         for name in extra_names:
             extras_dev[name] = extras_dev[name].at[idx].set(
-                jnp.asarray(arrays[f"slot/{name}"]).astype(
-                    extras_dev[name].dtype), mode="drop")
-        full = np.ones(ids.shape[0], bool) if return_mask else None
+                jnp.asarray(np.asarray(arrays[f"slot/{name}"])[sel]
+                            ).astype(extras_dev[name].dtype),
+                mode="drop")
         if return_mask:
             if extra_targets is not None:
-                return state, extras_dev, full
-            return state, full
+                return state, extras_dev, keep
+            return state, keep
         if extra_targets is not None:
             return state, extras_dev
         return state

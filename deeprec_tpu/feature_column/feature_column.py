@@ -305,10 +305,6 @@ class EmbeddingGroup:
         self._static_map: Dict[str, tuple[int, int]] = {}
         static_names = [n for n, tc in logical.items() if tc.static_buckets]
         if static_names:
-            if self.num_shards > 1:
-                raise NotImplementedError(
-                    "static_bucket columns are single-shard for now "
-                    "(replicate/shard the matrix in a later round)")
             groups: Dict[tuple, list] = {}
             for name in static_names:
                 tc = logical.pop(name)
@@ -331,10 +327,11 @@ class EmbeddingGroup:
                                         capacity=total),
                     members=[n for n, _ in members])
         # Adaptive tables bypass coalescing (their lookup produces
-        # hot/bucket routing the merged pipeline cannot share) and are
-        # only supported unsharded/replicated: the static half is a
-        # dense param, so row-sharding the EV half would split one
-        # logical id space across two placement schemes.
+        # hot/bucket routing the merged pipeline cannot share).  Under
+        # a mesh the EV half row-shards via the standard id exchange
+        # with hotness computed on the owner shard; the static half is
+        # a replicated dense param (so "replicated" placement for the
+        # EV half is pointless and they are always sharded).
         for name in [n for n, tc in logical.items()
                      if tc.adaptive_hot_threshold is not None]:
             tc = logical.pop(name)
@@ -342,12 +339,6 @@ class EmbeddingGroup:
                 raise ValueError(
                     f"table {name}: adaptive embedding cannot combine "
                     "with dynamic-dimension blocks")
-            if self.num_shards > 1:
-                raise NotImplementedError(
-                    f"table {name}: adaptive embedding is single-shard "
-                    "only for now (the static bucket table is a dense "
-                    "replicated param; the EV half would need its own "
-                    "exchange for hot/bucket routing)")
             self._phys_of[name] = (name, 0)
             self._add_table(tc)
         if coalesce:
@@ -400,6 +391,11 @@ class EmbeddingGroup:
         req = self._placement_req
         if self.num_shards <= 1 or req is None:
             return "sharded"
+        if tc.adaptive_hot_threshold is not None:
+            # The static half is already replicated (a dense param);
+            # replicating the EV half too would be strictly worse than
+            # widening the static table.
+            return "sharded"
         if isinstance(req, dict):
             if tc.name in req:
                 return req[tc.name]
@@ -428,8 +424,19 @@ class EmbeddingGroup:
         place = self._resolve_placement(tc, members=members,
                                         inherit=inherit)
         if self.num_shards > 1 and place == "sharded":
-            tc = dataclasses.replace(
-                tc, capacity=max(8, tc.capacity // self.num_shards))
+            if tc.static_buckets:
+                # Per-shard row count, ceil so the global bucket space
+                # (capacity * S, mod-partitioned: global slot g lives on
+                # shard g % S at local row g // S) covers every offset;
+                # pad rows beyond the coalesced total are never
+                # addressed.  Reference analog: fixed_size_partitioner
+                # mod routing (embedding_ops.py:95-276).
+                tc = dataclasses.replace(
+                    tc, capacity=max(
+                        8, -(-tc.capacity // self.num_shards)))
+            else:
+                tc = dataclasses.replace(
+                    tc, capacity=max(8, tc.capacity // self.num_shards))
         self.placement[tc.name] = place
         self.salts[tc.name] = len(self.tables) + 1
         self.tables[tc.name] = tc
@@ -708,6 +715,21 @@ class EmbeddingGroup:
             inverse, mask, adaptive_bits)."""
             if cfg.adaptive_hot_threshold is not None:
                 from deeprec_tpu.embedding import adaptive as adlib
+                if self.axis_name is not None and self._is_stacked(tname):
+                    local = sharded.local_of(new_states[tname])
+                    local, sal = adlib.lookup_train_sharded(
+                        cfg, local, ids_hi, ids_lo, global_step,
+                        axis_name=self.axis_name,
+                        hot_threshold=cfg.adaptive_hot_threshold,
+                        num_buckets=cfg.adaptive_buckets,
+                        salt=self.salts[tname],
+                        capacity_factor=self.capacity_factor)
+                    new_states[tname] = sharded.stacked_of(local)
+                    lks[tname] = sal.lk
+                    return sal.routing, sal.inverse, sal.mask, \
+                        AdaptiveBits(hot=sal.hot,
+                                     newly_hot=sal.newly_hot,
+                                     bucket=sal.bucket)
                 st, al = adlib.lookup_train(
                     cfg, new_states[tname], ids_hi, ids_lo, global_step,
                     hot_threshold=cfg.adaptive_hot_threshold,
@@ -720,20 +742,35 @@ class EmbeddingGroup:
                     bucket=al.bucket)
             if self.axis_name is not None and self._is_stacked(tname):
                 local = sharded.local_of(new_states[tname])
-                local, sbl = sharded.bag_lookup_train(
-                    cfg, local, ids_hi, ids_lo, global_step,
-                    axis_name=self.axis_name,
-                    capacity_factor=self.capacity_factor,
-                    salt=self.salts[tname])
+                if cfg.static_buckets:
+                    local, sbl = sharded.bag_lookup_train_static(
+                        cfg, local, ids_hi, ids_lo, global_step,
+                        axis_name=self.axis_name,
+                        capacity_factor=self.capacity_factor,
+                        budget=budget)
+                else:
+                    local, sbl = sharded.bag_lookup_train(
+                        cfg, local, ids_hi, ids_lo, global_step,
+                        axis_name=self.axis_name,
+                        capacity_factor=self.capacity_factor,
+                        salt=self.salts[tname])
                 new_states[tname] = sharded.stacked_of(local)
                 lks[tname] = sbl.lk
                 r = sbl.routing
                 return r, r.inverse, r.mask, None
             if (self.axis_name is not None
                     and self.placement.get(tname) == "replicated"):
-                st, (lk, r) = sharded.bag_lookup_train_replicated(
-                    cfg, new_states[tname], ids_hi, ids_lo, global_step,
-                    axis_name=self.axis_name, salt=self.salts[tname])
+                if cfg.static_buckets:
+                    st, (lk, r) = \
+                        sharded.bag_lookup_train_replicated_static(
+                            cfg, new_states[tname], ids_hi, ids_lo,
+                            global_step, axis_name=self.axis_name,
+                            budget=budget)
+                else:
+                    st, (lk, r) = sharded.bag_lookup_train_replicated(
+                        cfg, new_states[tname], ids_hi, ids_lo,
+                        global_step, axis_name=self.axis_name,
+                        salt=self.salts[tname])
                 new_states[tname] = st
                 lks[tname] = lk
                 return r, r.inverse, r.mask, None
@@ -799,11 +836,23 @@ class EmbeddingGroup:
             anycol = next(cl for cl in gl.columns.values()
                           if cl.table_name == tname)
             r = anycol.routing
+            src = rows[tname]
+            if anycol.adp is not None:
+                # Adaptive: hot uniques use their EV row, cold uniques
+                # the static hash bucket.  The merge happens at the
+                # lk (owner-unique) level BEFORE any return exchange —
+                # the static table is replicated, so the owner shard
+                # holds it; jnp.where routes each id's cotangent to
+                # exactly one side (EV rows or the static dense param).
+                adp = anycol.adp
+                static = self._adaptive_static(params, tname)
+                src = jnp.where(adp.hot[:, None], src,
+                                static[adp.bucket].astype(src.dtype))
             if isinstance(r, sharded.Routing):
                 SK = r.owner_inverse.shape[0]
                 S = jax.lax.axis_size(self.axis_name)
-                dim = rows[tname].shape[-1]
-                per_recv = rows[tname][r.owner_inverse]
+                dim = src.shape[-1]
+                per_recv = src[r.owner_inverse]
                 back = jax.lax.all_to_all(
                     per_recv.reshape(S, SK // S, dim), self.axis_name,
                     split_axis=0, concat_axis=0, tiled=True).reshape(SK, dim)
@@ -813,9 +862,9 @@ class EmbeddingGroup:
             elif isinstance(r, sharded.RepRouting):
                 # Replicated table: this device's rows are a slice of
                 # the union — no return exchange.
-                local_rows[tname] = rows[tname][r.union_of_local]
+                local_rows[tname] = src[r.union_of_local]
             else:
-                local_rows[tname] = rows[tname]
+                local_rows[tname] = src
         # One fused per-occurrence gather per TABLE (indexed ops price
         # per op + per index — 26 per-column gathers and their 26
         # backward scatter-adds would cost far more than one pair).
@@ -824,14 +873,6 @@ class EmbeddingGroup:
             by_tbl.setdefault(cl.table_name, []).append((cname, cl))
         for tname, items in by_tbl.items():
             r = local_rows[tname]
-            adp = items[0][1].adp
-            if adp is not None:
-                # Adaptive: hot uniques use their EV row, cold uniques
-                # the static hash bucket; jnp.where routes each id's
-                # cotangent to exactly one side.
-                static = self._adaptive_static(params, tname)
-                r = jnp.where(adp.hot[:, None], r,
-                              static[adp.bucket].astype(r.dtype))
             inv = jnp.concatenate([cl.inverse for _, cl in items],
                                   axis=1)
             msk = jnp.concatenate([cl.mask for _, cl in items], axis=1)

@@ -72,18 +72,24 @@ def _row_aligned(slot_tree, capacity: int):
 
 
 def _export_table(cfg, state: ev.EVState, slot_tree, *,
-                  min_version: Optional[int] = None) -> Dict[str, np.ndarray]:
+                  min_version: Optional[int] = None,
+                  partition_id: int = 0,
+                  partition_num: int = 1) -> Dict[str, np.ndarray]:
     """Snapshot live rows (all, or touched since ``min_version``).
 
     Static bucket tables (no hash table, no version metadata) are
     saved in FULL on every save, incremental included — they are
     effectively dense params (matching the reference, whose
     incremental saver also rewrites dense variables each delta).
+    A row-sharded static shard saves its GLOBAL slots as keys
+    (``local_row * partition_num + partition_id``), so restore
+    re-shards to any shard count by the same mod rule.
     """
     if cfg.static_buckets:
         N = cfg.capacity
         out = {
-            "keys": np.arange(N, dtype=np.int64),
+            "keys": (np.arange(N, dtype=np.int64) * partition_num
+                     + partition_id),
             "values": np.asarray(state.values)[:N],
             "freqs": np.zeros((N,), np.int32),
             "versions": np.zeros((N,), np.int32),
@@ -178,7 +184,9 @@ class CheckpointManager:
     def _live_keys(self, ts: TrainState, tname: str) -> np.ndarray:
         cfg = self.group.tables[tname]
         if cfg.static_buckets:
-            return np.arange(cfg.capacity, dtype=np.int64)
+            n = cfg.capacity * (self.group.num_shards
+                                if self.group._is_stacked(tname) else 1)
+            return np.arange(n, dtype=np.int64)
         out = []
         for st, _ in self._table_shards(ts, tname):
             ids = keylib.join_ids(np.asarray(st.table.key_hi),
@@ -232,8 +240,11 @@ class CheckpointManager:
         np.savez(os.path.join(tmp, "dense.npz"), **_flatten(dense))
         min_version = since_step if incremental else None
         for tname, cfg in self.group.tables.items():
+            n_sh = (self.group.num_shards
+                    if self.group._is_stacked(tname) else 1)
             for si, (st, sl) in enumerate(self._table_shards(ts, tname)):
-                arrs = _export_table(cfg, st, sl, min_version=min_version)
+                arrs = _export_table(cfg, st, sl, min_version=min_version,
+                                     partition_id=si, partition_num=n_sh)
                 if incremental and si == 0:
                     # Deletion records: journaled evictions minus keys
                     # that were re-inserted since (currently live).

@@ -260,17 +260,34 @@ def make_eval_step(group: EmbeddingGroup, apply_fn, mesh=None):
                      else ts.ev[tname])
             B, L = ids_hi.shape
             if cfg.adaptive_hot_threshold is not None:
-                # Adaptive (single-shard): resident-and-hot ids read
-                # their EV row, everything else its static bucket.
+                # Adaptive: resident-and-hot ids read their EV row,
+                # everything else its static bucket.  Sharded: the
+                # merge happens on the owner shard (static replicated).
                 from deeprec_tpu.embedding import adaptive as adlib
                 static = fclib.EmbeddingGroup._adaptive_static(
                     ts.params, tname)
-                local_rows = adlib.lookup_infer(
-                    cfg, state, ids_hi, ids_lo, static,
-                    hot_threshold=cfg.adaptive_hot_threshold,
-                    num_buckets=cfg.adaptive_buckets,
-                    salt=group.salts[tname])
-                inverse = jnp.arange(B * L).reshape(B, L)
+                if stacked:
+                    local_rows, inverse, _ = \
+                        adlib.lookup_infer_rows_sharded(
+                            cfg, state, ids_hi, ids_lo, static,
+                            axis_name=axis,
+                            hot_threshold=cfg.adaptive_hot_threshold,
+                            num_buckets=cfg.adaptive_buckets,
+                            salt=group.salts[tname],
+                            capacity_factor=group.capacity_factor)
+                else:
+                    local_rows = adlib.lookup_infer(
+                        cfg, state, ids_hi, ids_lo, static,
+                        hot_threshold=cfg.adaptive_hot_threshold,
+                        num_buckets=cfg.adaptive_buckets,
+                        salt=group.salts[tname])
+                    inverse = jnp.arange(B * L).reshape(B, L)
+            elif stacked and cfg.static_buckets:
+                # Row-sharded static bucket table: dedup global slots,
+                # mod-route to owners, exchange rows back.
+                local_rows, inverse, _ = shlib.lookup_rows_infer_static(
+                    cfg, state, ids_hi, ids_lo, axis_name=axis,
+                    capacity_factor=group.capacity_factor)
             elif stacked:
                 # Shared sharded read path (the bag_lookup_infer core) —
                 # returns per-unique rows + inverse for column slicing.

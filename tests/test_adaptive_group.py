@@ -146,12 +146,7 @@ def test_capacity_saving_composition_with_cbf():
     assert len(live) == 3
 
 
-def test_adaptive_rejects_sharded_and_dyn_dim():
-    with pytest.raises(NotImplementedError):
-        EmbeddingGroup([EmbeddingColumn(
-            name="c0", dim=4, capacity=1 << 8,
-            adaptive_hot_threshold=2, adaptive_buckets=8)],
-            axis_name="data", num_shards=8)
+def test_adaptive_rejects_dyn_dim():
     with pytest.raises(ValueError):
         EmbeddingGroup([EmbeddingColumn(
             name="c0", dim=4, capacity=1 << 8,
