@@ -84,19 +84,21 @@ class RedisFeatureStore(FeatureStore):
     """Redis-backed store (``redis_feature_store.cc`` analog).
 
     Key layout: ``{prefix}/{table}/{id}`` -> raw float32 row bytes,
-    matching the reference's binary-value scheme.  Requires the
-    ``redis`` client package at runtime.
+    matching the reference's binary-value scheme.  Uses the ``redis``
+    client package when installed, else the built-in dependency-free
+    RESP2 client (``serving/resp.py``) — both speak to any real Redis
+    server; tests run against the in-process
+    :class:`~deeprec_tpu.serving.resp.MiniRedisServer`.
     """
 
     def __init__(self, url: str = "redis://localhost:6379/0",
                  prefix: str = "deeprec"):
         try:
             import redis  # noqa: PLC0415 — optional dependency
-        except ImportError as e:  # pragma: no cover - env without redis
-            raise ImportError(
-                "RedisFeatureStore needs the 'redis' package; use "
-                "InMemoryFeatureStore or install redis") from e
-        self._r = redis.from_url(url)
+            self._r = redis.from_url(url)
+        except ImportError:
+            from deeprec_tpu.serving.resp import RespClient
+            self._r = RespClient.from_url(url)
         self._prefix = prefix
 
     def _key(self, table, i):
@@ -145,7 +147,10 @@ def publish_sparse(ts: TrainState, group: EmbeddingGroup,
         for st in shards:
             arrs = ev.export_arrays(cfg, st)
             keys, values = arrs["keys"], arrs["values"]
-            if min_version is not None:
+            if min_version is not None and not cfg.static_buckets:
+                # Static bucket tables have no touched-row recorder —
+                # re-publish them in full on every delta (matching the
+                # checkpoint's incremental semantics for them).
                 keep = arrs["versions"] >= min_version
                 keys, values = keys[keep], values[keep]
             store.put_batch(tname, keys, values)
