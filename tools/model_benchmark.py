@@ -212,7 +212,13 @@ def bench_model(name: str, batch: int = 16384) -> dict:
     sps = batch * MEASURE / dt
     out = {"metric": f"{name}_samples_per_sec", "value": round(sps, 2),
            "unit": "samples/s", "batch": batch,
-           "loss": round(loss, 4)}
+           "loss": round(loss, 4),
+           "device_kind": jax.devices()[0].device_kind,
+           "method": ("sync-fenced: D2H loss read drains the queue "
+                      "before t0 and closes the window (PARITY.md "
+                      "round-2 measurement correction); packed "
+                      "batches; steps %d..%d"
+                      % (WARMUP, WARMUP + MEASURE))}
     if name in BASELINES:
         out["vs_baseline"] = round(sps / BASELINES[name], 3)
     return roofline(out, compiled, dt / MEASURE)
