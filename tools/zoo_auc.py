@@ -103,7 +103,7 @@ CAMPAIGN = {
 
 
 def run(name: str, steps: int = 288, bf16: bool = True,
-        batch: int = 4096, pool: int = 48):
+        batch: int = 4096, pool: int = 48, seed: int = 0):
     from deeprec_tpu.feature_column.feature_column import EmbeddingGroup
     from deeprec_tpu.models.registry import ZOO
     from deeprec_tpu.optimizers import sparse as sopt
@@ -112,6 +112,10 @@ def run(name: str, steps: int = 288, bf16: bool = True,
 
     from deeprec_tpu.data.criteo import CRITEO_HASH_BUCKETS
 
+    metric_name = name
+    if name == "dlrm_cat":          # the reference's --interaction_op
+        name = "dlrm"               # cat variant as its own campaign row
+        sys.argv.append("--cat")
     entry = ZOO[name]
     is_seq = name in ("din", "dien", "bst", "dssm")
     group = EmbeddingGroup(entry.columns(**COLUMN_KWARGS[name]),
@@ -126,7 +130,7 @@ def run(name: str, steps: int = 288, bf16: bool = True,
     dk = dict(batch_size=batch, num_items=_arg("--items", 100_000),
               num_cats=1000, seq_len=50) if is_seq \
         else dict(batch_size=batch, vocab=CRITEO_HASH_BUCKETS)
-    data = entry.make_data(seed=0, **dk)
+    data = entry.make_data(seed=seed, **dk)
 
     b0 = group.pack_batch(data.next_batch())
 
@@ -138,7 +142,7 @@ def run(name: str, steps: int = 288, bf16: bool = True,
             return module.init(key, embs)
         return module.init(key, embs, group.numeric_features(b))
 
-    variables = _init(group.create_state(), b0, jax.random.key(0))
+    variables = _init(group.create_state(), b0, jax.random.key(seed))
     lr = _arg("--lr", 0.05, float)
     opt = sopt.SparseAdagrad(learning_rate=lr)
     # Dense towers may use Adam while embeddings stay on sparse
@@ -174,10 +178,10 @@ def run(name: str, steps: int = 288, bf16: bool = True,
     ls = jnp.asarray(np.concatenate(epoch_losses))
     train_s = time.perf_counter() - t0
 
-    out = {"metric": f"{name}_synthetic_accuracy",
+    out = {"metric": f"{metric_name}_synthetic_accuracy",
            "mode": "bf16" if bf16 else "fp32",
            "backend": jax.default_backend(),
-           "steps": steps, "batch": batch,
+           "steps": steps, "batch": batch, "seed": seed,
            "train_s_incl_compile": round(train_s, 1)}
 
     eval_step = trainlib.make_eval_step(group, afn)
@@ -235,8 +239,16 @@ def _campaign(names, steps, argv_tail):
         rows = [r for r in old.get("models", [])
                 if r.get("metric", "").rsplit("_synthetic", 1)[0]
                 not in names]
+    # --seeds a,b,c : run every model once per seed and aggregate into
+    # one row (auc = seed mean, plus per-seed detail) — the VERDICT-r4
+    # "nothing is seed-averaged" fix.
+    seeds = [0]
+    if "--seeds" in argv_tail:
+        i = argv_tail.index("--seeds")
+        seeds = [int(s) for s in argv_tail[i + 1].split(",")]
+        argv_tail = argv_tail[:i] + argv_tail[i + 2:]
     for name in names:
-        cfg = CAMPAIGN.get(name, {})
+        cfg = CAMPAIGN.get("dlrm" if name == "dlrm_cat" else name, {})
         n_steps = cfg.get("steps", steps)
         cmd = [sys.executable, os.path.abspath(__file__), name,
                str(n_steps)] + argv_tail
@@ -246,12 +258,31 @@ def _campaign(names, steps, argv_tail):
             cmd += ["--items", str(cfg["items"])]
         if "dense" in cfg and "--dense" not in argv_tail:
             cmd += ["--dense", str(cfg["dense"])]
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=7200)
-        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        row = (json.loads(lines[-1]) if lines else
-               {"metric": f"{name}_synthetic_accuracy",
-                "error": (r.stderr.strip() or "no output")[-400:]})
+        per_seed = []
+        for seed in seeds:
+            r = subprocess.run(cmd + ["--seed", str(seed)],
+                               capture_output=True, text=True,
+                               timeout=7200)
+            lines = [l for l in r.stdout.splitlines()
+                     if l.startswith("{")]
+            per_seed.append(
+                json.loads(lines[-1]) if lines else
+                {"metric": f"{name}_synthetic_accuracy",
+                 "error": (r.stderr.strip() or "no output")[-400:]})
+        row = dict(per_seed[0])
+        aucs = [r.get("auc") for r in per_seed
+                if r.get("auc") is not None]
+        if len(per_seed) > 1:
+            row["n_seeds"] = len(per_seed)
+            row["seeds"] = seeds
+            if aucs:
+                row["auc_seeds"] = aucs
+                row["auc"] = round(float(np.mean(aucs)), 4)
+                row["auc_spread"] = round(max(aucs) - min(aucs), 4)
+            row["loss_drops"] = all(r.get("loss_drops")
+                                    for r in per_seed
+                                    if "loss_drops" in r)
+            row.pop("seed", None)
         rows.append(row)
         print(json.dumps(row), flush=True)
         with open(out_path, "w") as f:
@@ -289,11 +320,12 @@ if __name__ == "__main__":
             tail.append(a)
     if name == "all":
         from deeprec_tpu.models.registry import ZOO
-        _campaign(sorted(ZOO), steps, tail)
+        _campaign(sorted(ZOO) + ["dlrm_cat"], steps, tail)
     elif "," in name:
         _campaign(name.split(","), steps, tail)
     else:
         print(json.dumps(run(
             name, steps, bf16="--fp32" not in sys.argv,
-            batch=_arg("--batch", 4096), pool=_arg("--pool", 48))),
+            batch=_arg("--batch", 4096), pool=_arg("--pool", 48),
+            seed=_arg("--seed", 0))),
             flush=True)
