@@ -19,19 +19,25 @@ from deeprec_tpu.layers.core import MLP, DINAttention, LogitsHead
 
 
 def behavior_columns(embedding_dim: int = 16, capacity: int = 1 << 15,
-                     ev_option=None):
+                     ev_option=None, num_items=None, num_cats=None,
+                     num_users=None):
+    """``num_items/num_cats/num_users`` declare the bounded id spaces
+    (``EmbeddingColumn.num_buckets``) so the lookup can compact every
+    unique-level row op to ``sum(min(vocab, B*L))`` instead of the raw
+    occurrence count — on sequence models (103 ids/sample at T=50)
+    that shrinks the gather/scatter index sets ~4x."""
     ev_option = ev_option or cfglib.EmbeddingVariableOption()
     kw = dict(dim=embedding_dim, capacity=capacity, ev_option=ev_option)
     return [
-        EmbeddingColumn(name="user", **kw),
+        EmbeddingColumn(name="user", num_buckets=num_users, **kw),
         EmbeddingColumn(name="item", shared_name="item_emb",
-                        combiner="sum", **kw),
+                        combiner="sum", num_buckets=num_items, **kw),
         EmbeddingColumn(name="cat", shared_name="cat_emb",
-                        combiner="sum", **kw),
+                        combiner="sum", num_buckets=num_cats, **kw),
         SequenceEmbeddingColumn(name="seq_items", shared_name="item_emb",
-                                **kw),
+                                num_buckets=num_items, **kw),
         SequenceEmbeddingColumn(name="seq_cats", shared_name="cat_emb",
-                                **kw),
+                                num_buckets=num_cats, **kw),
     ]
 
 

@@ -51,7 +51,21 @@ BASELINES = {
 # Reference-parity column configs (VERDICT r1 item 2): per-column
 # Criteo dims/buckets where the reference model defines them
 # (``modelzoo/WDL/train.py:40-96``, ``modelzoo/DLRM/train.py:330``);
-# behavior models use the reference embedding dims.
+# behavior models use the reference embedding dims and declare their
+# bounded id spaces (num_items/num_cats/num_users, matched to
+# ``data_kwargs``) so the lookup compacts row ops to the unique budget.
+# All EV tables run the reference's DEFAULT metadata mode (no
+# record_freq/record_version — LightHeader, ``value_ptr.h:78``), same
+# as bench.py's headline row.
+def _light():
+    from deeprec_tpu import config as cfglib
+    return cfglib.EmbeddingVariableOption(record_freq=False,
+                                          record_version=False)
+
+
+_BEHAVIOR_VOCABS = dict(num_items=200_000, num_cats=100,
+                        num_users=1000)
+
 COLUMN_KWARGS = {
     "wdl": dict(reference_shapes=True, capacity=1 << 20,
                 wide_in_deep=True),
@@ -67,10 +81,14 @@ COLUMN_KWARGS = {
                   capacity=1 << 20),
     "simple_multitask": dict(embedding_dim=16, reference_shapes=True,
                              capacity=1 << 20),
-    "din": dict(embedding_dim=18, capacity=1 << 20),
-    "dien": dict(embedding_dim=18, capacity=1 << 20),
-    "bst": dict(embedding_dim=16, capacity=1 << 20),
-    "dssm": dict(embedding_dim=16, capacity=1 << 20),
+    "din": dict(embedding_dim=18, capacity=1 << 20,
+                **_BEHAVIOR_VOCABS),
+    "dien": dict(embedding_dim=18, capacity=1 << 20,
+                 **_BEHAVIOR_VOCABS),
+    "bst": dict(embedding_dim=16, capacity=1 << 20,
+                **_BEHAVIOR_VOCABS),
+    "dssm": dict(embedding_dim=16, capacity=1 << 20,
+                 **_BEHAVIOR_VOCABS),
 }
 
 # Chip peaks for roofline framing (``device_kind`` substring ->
@@ -160,7 +178,7 @@ def bench_model(name: str, batch: int = 16384) -> dict:
     if name in ("din", "dien", "bst", "dssm"):
         batch = min(batch, 8192)  # sequence models: [B, T] activations
     entry = ZOO[name]
-    cols = entry.columns(**COLUMN_KWARGS[name])
+    cols = entry.columns(ev_option=_light(), **COLUMN_KWARGS[name])
     group = EmbeddingGroup(cols, coalesce=True)
     module = entry.make_module(**MODULE_KWARGS[name])
     data = entry.make_data(seed=0, **data_kwargs(name, batch))
