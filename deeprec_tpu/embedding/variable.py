@@ -267,6 +267,9 @@ class OccLookup(NamedTuple):
     #                      overflow/padding pseudo-unique, never trained)
     inverse: jax.Array   # [n] int32 in [0, U]
     n_overflow: jax.Array  # [] int32 — distinct ids dropped by the budget
+    #                        PLUS ids the table could not place (probe
+    #                        window exhausted / capacity full) — both
+    #                        read defaults and receive no update
 
 
 def lookup_train_occ(
@@ -310,6 +313,11 @@ def lookup_train_occ(
     table, slots, is_new = ht.find_or_insert(
         state.table, qhi, qlo, is_real, max_probes=cfg.max_probes,
         fast_probes=cfg.fast_probes)
+    # Ids the table could not place (probe window exhausted at high
+    # load, or capacity full): they read defaults and get no update —
+    # surface the count (ADVICE r4: silent drop otherwise).
+    n_table_overflow = jnp.sum(
+        (is_real & (slots >= capacity)).astype(jnp.int32))
 
     # Representatives: the first occurrence of each slot. Overflow ids
     # (slot == capacity) are each their own representative so they keep
@@ -475,7 +483,11 @@ def lookup_train_occ(
         lk=LookupResult(slots=uslots, rows=rows, admitted=admitted,
                         is_new=u_new, prev_versions=prev_versions,
                         qhi=uhi, qlo=ulo),
-        inverse=inverse, n_overflow=n_overflow)
+        inverse=inverse,
+        # Table overflow is counted per OCCURRENCE (unplaceable ids all
+        # share the sentinel slot, so they cannot be deduped) — an
+        # upper bound on distinct dropped ids; 0 in healthy configs.
+        n_overflow=n_overflow + n_table_overflow)
 
 
 def lookup_train_static(
