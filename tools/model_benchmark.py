@@ -160,6 +160,19 @@ MODULE_KWARGS = {
 }
 
 
+# Per-model caveats carried on the row (vs_baseline honesty).
+ROW_NOTES = {
+    "dssm": ("synthetic config carries a T=50 behavior sequence per "
+             "sample; the reference's published 129k-samples/s Taobao "
+             "config consumes short tag lists + scalar features, a "
+             "much lighter per-sample feature set — vs_baseline "
+             "understates accordingly"),
+    "din": "T=50 behavior sequences (103 ids/sample)",
+    "dien": "T=50 behavior sequences through a GRU/AUGRU lax.scan",
+    "bst": "T=50 behavior sequences through a transformer block",
+}
+
+
 def data_kwargs(name: str, batch: int):
     """Id distributions MUST match the reference's hash-bucket counts
     (the table capacities above are sized from them) — a uniform 200k
@@ -239,6 +252,8 @@ def bench_model(name: str, batch: int = 16384) -> dict:
                       % (WARMUP, WARMUP + MEASURE))}
     if name in BASELINES:
         out["vs_baseline"] = round(sps / BASELINES[name], 3)
+    if name in ROW_NOTES:
+        out["note"] = ROW_NOTES[name]
     return roofline(out, compiled, dt / MEASURE)
 
 
