@@ -96,17 +96,34 @@ class WDL(nn.Module):
 
     @nn.compact
     def __call__(self, embs, numeric):
-        wide = [v for k, v in sorted(embs.items()) if k.endswith("_wide")]
-        deep = [v for k, v in sorted(embs.items())
-                if not k.endswith("_wide")]
-        if not wide:
-            # wide_in_deep layout: channel 0 of each deep embedding is
-            # the field's wide weight.
-            wide = [v[:, :1] for v in deep]
-            deep = [v[:, 1:] for v in deep]
-        wide_logit = jnp.sum(jnp.concatenate(wide, axis=1), axis=1)
-        x = jnp.concatenate(deep + ([numeric] if numeric is not None else []),
-                            axis=1)
+        if "__fused__" in embs:
+            # Fused table input (``apply_fn_fused``): one [B, total]
+            # matrix + static index maps replace the 52 per-column
+            # slices the dict path makes XLA rebuild — the input-layer
+            # half of the reference's AutoGraphFusion role. The
+            # permutation reproduces the dict path's sorted-concat
+            # feature order EXACTLY, so params are interchangeable.
+            full, wide_idx, deep_idx = embs["__fused__"]
+            wide_logit = jnp.sum(jnp.take(full, wide_idx, axis=1),
+                                 axis=1)
+            x = jnp.take(full, deep_idx, axis=1)
+            if numeric is not None:
+                x = jnp.concatenate([x, numeric.astype(x.dtype)],
+                                    axis=1)
+        else:
+            wide = [v for k, v in sorted(embs.items())
+                    if k.endswith("_wide")]
+            deep = [v for k, v in sorted(embs.items())
+                    if not k.endswith("_wide")]
+            if not wide:
+                # wide_in_deep layout: channel 0 of each deep
+                # embedding is the field's wide weight.
+                wide = [v[:, :1] for v in deep]
+                deep = [v[:, 1:] for v in deep]
+            wide_logit = jnp.sum(jnp.concatenate(wide, axis=1), axis=1)
+            x = jnp.concatenate(
+                deep + ([numeric] if numeric is not None else []),
+                axis=1)
         h = MLP(units=self.hidden, dtype=self.dtype, name="deep")(x)
         h = nn.relu(h)
         deep_logit = LogitsHead(name="head")(h)
@@ -115,6 +132,42 @@ class WDL(nn.Module):
 
 def apply_fn(module: WDL, group):
     def fn(params, embs, batch):
+        return module.apply({"params": params}, embs,
+                            group.numeric_features(batch))
+    return fn
+
+
+def apply_fn_fused(module: WDL, group):
+    """Apply over ``group.combine_tables`` output (wide_in_deep column
+    sets only): builds one concatenated [B, total] matrix from the
+    per-table occurrence tensors and static permutation indices that
+    reproduce the dict path's feature order, so the SAME params give
+    bit-identical outputs (asserted in tests/test_fused_combine.py).
+    Use with ``make_train_step(..., combine_fn=group.combine_tables)``.
+    """
+    import numpy as np
+
+    def fn(params, tbl_embs, batch):
+        names, starts = [], {}
+        mats = []
+        off = 0
+        for tname in sorted(tbl_embs):
+            occ, cols = tbl_embs[tname]
+            B, n_cols, dim = occ.shape
+            mats.append(occ.reshape(B, n_cols * dim))
+            for j, cname in enumerate(cols):
+                starts[cname] = (off + j * dim, dim)
+                names.append(cname)
+            off += n_cols * dim
+        full = jnp.concatenate(mats, axis=1)
+        wide_idx, deep_idx = [], []
+        for cname in sorted(names):
+            s, dim = starts[cname]
+            wide_idx.append(s)                      # channel 0
+            deep_idx.extend(range(s + 1, s + dim))  # channels 1..
+        embs = {"__fused__": (full,
+                              jnp.asarray(np.array(wide_idx, np.int32)),
+                              jnp.asarray(np.array(deep_idx, np.int32)))}
         return module.apply({"params": params}, embs,
                             group.numeric_features(batch))
     return fn

@@ -73,10 +73,16 @@ def make_train_step(
     donate: bool = True,
     micro_batch_num: int = 1,
     jit_compile: bool = True,
+    combine_fn: Optional[Callable] = None,
 ):
     """Build the jitted train step: (TrainState, batch) -> (TrainState,
     metrics dict). Batch leaves are [B_local*S, ...] global arrays in
     mesh mode (sharded on dim 0).
+
+    ``combine_fn`` overrides ``group.combine`` — pass
+    ``group.combine_tables`` (with a matching fused ``apply_fn``) to
+    feed the model whole-table matrices instead of per-column slices
+    (width-1 bag columns only; requires ``micro_batch_num == 1``).
 
     ``micro_batch_num > 1`` is the AutoMicroBatch role
     (``common_runtime/graph_execution_state.cc:628``,
@@ -88,6 +94,9 @@ def make_train_step(
     is tiled.
     """
     axis = group.axis_name
+    if combine_fn is not None and micro_batch_num != 1:
+        raise ValueError("combine_fn requires micro_batch_num == 1")
+    _combine = combine_fn if combine_fn is not None else group.combine
 
     def _step(ts: TrainState, batch):
         gs = ts.step
@@ -99,7 +108,7 @@ def make_train_step(
         rows = {t: lk.rows for t, lk in gl.lks.items()}
 
         def loss_of(params, rows, mb_batch, mb_gl):
-            embs = group.combine(mb_gl, rows, params)
+            embs = _combine(mb_gl, rows, params)
             out = apply_fn(params, embs, mb_batch)
             per_ex = loss_fn(out, mb_batch)
             denom = per_ex.shape[0] * micro_batch_num
