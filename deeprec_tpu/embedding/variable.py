@@ -524,12 +524,19 @@ def lookup_train_static(
     rep_token = first[slots]
     rep = is_real & (rep_token == tokens)
 
-    u_idx = jnp.nonzero(rep, size=U, fill_value=n)[0].astype(jnp.int32)
+    # Compact representatives to U via cumsum ranks (the occ path's
+    # sort-free trick) — jnp.nonzero's machinery costs ~15 ms at
+    # headline sizes (round-3 measurement) for the same result.
+    pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    in_budget = rep & (pos < U)
+    u_of = jnp.full((U + 1,), n, jnp.int32).at[
+        jnp.where(in_budget, pos, U + 1)].set(tokens, mode="drop",
+                                              unique_indices=True)
+    u_idx = u_of[:U]
     pad = u_idx >= n
     safe_u = jnp.minimum(u_idx, n - 1)
-    rank = jnp.full((n + 1,), U, jnp.int32).at[u_idx].set(
-        jnp.where(pad, U, jnp.arange(U, dtype=jnp.int32)))
-    inverse = rank[jnp.minimum(jnp.where(is_real, rep_token, n), n)]
+    prep = pos[jnp.minimum(rep_token, n - 1)]
+    inverse = jnp.where(is_real & (prep < U), prep, U)
     n_overflow = jnp.maximum(jnp.sum(rep.astype(jnp.int32))
                              - jnp.int32(U), 0)
 
